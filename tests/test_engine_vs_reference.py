@@ -1,0 +1,205 @@
+"""Bit-equivalence of the TPU-native engine against the upstream reference.
+
+The reference matches orders with a sequential while-loop; our engine uses a
+closed-form vectorized fill. These tests assert the results are *identical*
+(books, trades, best-price streams, L2 snapshots) over randomized message
+streams and targeted edge cases.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jaxmarl_hft_tpu.config.structs import LobConfig
+from jaxmarl_hft_tpu.lob import engine, queries
+
+from reference_oracle import (get_oracle, init_book_messages,
+                              random_message_stream)
+
+job = get_oracle()
+pytestmark = pytest.mark.skipif(job is None,
+                                reason="reference oracle unavailable")
+
+CFG = LobConfig(nOrders=100, nTrades=100)
+
+
+def _fresh_state(cfg=CFG):
+    return (engine.init_orderside(cfg.nOrders),
+            engine.init_orderside(cfg.nOrders),
+            engine.init_trades(cfg.nTrades))
+
+
+def _run_both(cfg, msgs, state=None, key_seed=0):
+    if state is None:
+        state = _fresh_state(cfg)
+    key = jax.random.PRNGKey(key_seed)
+    msgs = jnp.asarray(msgs, dtype=jnp.int32)
+    ours = engine.scan_messages(cfg, key, msgs, state)
+    # LobConfig is attribute-compatible with the reference's config object.
+    theirs = job.scan_through_entire_array(cfg, key, msgs, state)
+    return ours, theirs
+
+
+def _assert_state_equal(ours, theirs):
+    np.testing.assert_array_equal(np.asarray(ours[0]), np.asarray(theirs[0]),
+                                  err_msg="ask side differs")
+    np.testing.assert_array_equal(np.asarray(ours[1]), np.asarray(theirs[1]),
+                                  err_msg="bid side differs")
+    np.testing.assert_array_equal(np.asarray(ours[2]), np.asarray(theirs[2]),
+                                  err_msg="trades differ")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_stream_equivalence(seed):
+    rng = np.random.default_rng(seed)
+    init = init_book_messages(rng)
+    msgs = np.concatenate([init, random_message_stream(rng, 300)], axis=0)
+    ours, theirs = _run_both(CFG, msgs)
+    _assert_state_equal(ours, theirs)
+
+
+def test_aggressive_drain():
+    """A huge market-ish order drains the whole opposite side."""
+    rng = np.random.default_rng(7)
+    init = init_book_messages(rng)
+    drain = np.array([[1, 1, 100000, 2_400_000, 555, 555, 34300, 0]],
+                     dtype=np.int32)
+    msgs = np.concatenate([init, drain], axis=0)
+    ours, theirs = _run_both(CFG, msgs)
+    _assert_state_equal(ours, theirs)
+
+
+def test_type4_ioc_no_remainder():
+    rng = np.random.default_rng(8)
+    init = init_book_messages(rng)
+    # type 4 sell-side execution larger than available at price
+    t4 = np.array([[4, -1, 100000, 2_194_900, 556, 556, 34300, 0]],
+                  dtype=np.int32)
+    msgs = np.concatenate([init, t4], axis=0)
+    ours, theirs = _run_both(CFG, msgs)
+    _assert_state_equal(ours, theirs)
+
+
+def test_full_book_eviction():
+    """Filling a side to capacity triggers worst-level eviction."""
+    cfg = LobConfig(nOrders=12, nTrades=12)
+    rows = []
+    for i in range(14):
+        rows.append([1, 1, 10, 2_000_000 + 100 * (i % 13), 100 + i, 100 + i,
+                     34200, i])
+    msgs = np.array(rows, dtype=np.int32)
+    ours, theirs = _run_both(cfg, msgs)
+    _assert_state_equal(ours, theirs)
+
+
+def test_cancel_unknown_id_quirk():
+    """A cancel with an unknown id subtracts from the last row (reference
+    quirk) — behaviour must match exactly."""
+    rng = np.random.default_rng(9)
+    init = init_book_messages(rng)
+    bogus = np.array([[2, 1, 5, 1_234_500, 999999, 999999, 34300, 0]],
+                     dtype=np.int32)
+    msgs = np.concatenate([init, bogus], axis=0)
+    ours, theirs = _run_both(CFG, msgs)
+    _assert_state_equal(ours, theirs)
+
+
+def test_cancel_init_order_fallback():
+    """Cancel matching an initial-book order at the same price."""
+    rng = np.random.default_rng(10)
+    init = init_book_messages(rng)
+    price = int(init[1, 3])  # a bid init level
+    quant = 1
+    cancel = np.array([[2, 1, quant, price, 31337, 31337, 34300, 0]],
+                      dtype=np.int32)
+    msgs = np.concatenate([init, cancel], axis=0)
+    ours, theirs = _run_both(CFG, msgs)
+    _assert_state_equal(ours, theirs)
+
+
+def test_trades_overflow():
+    """More fills in a step than trade-buffer capacity: the overflow slot must
+    contain the same (last) trade as the reference."""
+    cfg = LobConfig(nOrders=50, nTrades=8)
+    rows = []
+    for i in range(20):
+        rows.append([1, -1, 1, 2_200_000, 200 + i, 200 + i, 34200, i])
+    rows.append([1, 1, 50, 2_300_000, 300, 300, 34201, 0])  # sweeps 20 asks
+    msgs = np.array(rows, dtype=np.int32)
+    ours, theirs = _run_both(cfg, msgs)
+    _assert_state_equal(ours, theirs)
+
+
+def test_price_time_priority_ties():
+    """Orders at identical price and time: first-slot priority."""
+    rows = [
+        [1, -1, 5, 2_200_000, 201, 201, 34200, 7],
+        [1, -1, 5, 2_200_000, 202, 202, 34200, 7],   # same ts/ns
+        [1, -1, 5, 2_200_000, 203, 203, 34200, 3],   # earlier ns
+        [1, 1, 8, 2_200_000, 300, 300, 34201, 0],    # crosses: fills 203 then 201
+    ]
+    msgs = np.array(rows, dtype=np.int32)
+    ours, theirs = _run_both(CFG, msgs)
+    _assert_state_equal(ours, theirs)
+
+
+def test_save_bidask_stream():
+    rng = np.random.default_rng(11)
+    init = init_book_messages(rng)
+    stream = random_message_stream(rng, 120)
+    msgs = jnp.asarray(np.concatenate([init, stream]), dtype=jnp.int32)
+    key = jax.random.PRNGKey(0)
+    state = _fresh_state()
+    ours_state, (our_asks, our_bids) = engine.scan_messages_save_bidask(
+        CFG, key, msgs, state, 64)
+    theirs_state, (ref_asks, ref_bids) = \
+        job.scan_through_entire_array_save_bidask(CFG, key, msgs, state, 64)
+    _assert_state_equal(ours_state, theirs_state)
+    np.testing.assert_array_equal(np.asarray(our_asks), np.asarray(ref_asks))
+    np.testing.assert_array_equal(np.asarray(our_bids), np.asarray(ref_bids))
+
+
+def test_l2_state_equivalence():
+    rng = np.random.default_rng(12)
+    init = init_book_messages(rng)
+    stream = random_message_stream(rng, 150)
+    msgs = np.concatenate([init, stream])
+    ours, theirs = _run_both(CFG, msgs)
+    ours_l2 = queries.get_L2_state(ours[0], ours[1], 10, CFG)
+    ref_l2 = job.get_L2_state(theirs[0], theirs[1], 10, CFG)
+    np.testing.assert_array_equal(np.asarray(ours_l2), np.asarray(ref_l2))
+
+
+def test_cancel_msgs_equivalence():
+    rng = np.random.default_rng(13)
+    init = init_book_messages(rng)
+    agent_orders = np.array([
+        [1, 1, 10, 2_194_500, -150, -150, 34300, 0],
+        [1, 1, 7, 2_194_400, -151, -150, 34300, 1],
+    ], dtype=np.int32)
+    msgs = np.concatenate([init, agent_orders])
+    ours, theirs = _run_both(CFG, msgs)
+    ours_cnl = engine.get_cancel_msgs(ours[1], -150, 2, 1, 34400, 5)
+    ref_cnl = job.getCancelMsgs(theirs[1], -150, 2, 1, 34400, 5)
+    np.testing.assert_array_equal(np.asarray(ours_cnl), np.asarray(ref_cnl))
+
+
+def test_queries_equivalence():
+    rng = np.random.default_rng(14)
+    init = init_book_messages(rng)
+    stream = random_message_stream(rng, 100)
+    msgs = np.concatenate([init, stream])
+    ours, _ = _run_both(CFG, msgs)
+    asks, bids, trades = ours
+    assert int(queries.get_best_ask(CFG, asks)) == \
+        int(job.get_best_ask(CFG, asks))
+    assert int(queries.get_best_bid(CFG, bids)) == \
+        int(job.get_best_bid(CFG, bids))
+    oa, ob = queries.best_bid_ask_incl_quants(CFG, asks, bids)
+    ra, rb = job.get_best_bid_and_ask_inclQuants(CFG, asks, bids)
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ra))
+    np.testing.assert_array_equal(np.asarray(ob), np.asarray(rb))
+    ot, oo = queries.get_agent_trades(trades, -150)
+    rt, ro = job.get_agent_trades(trades, -150)
+    np.testing.assert_array_equal(np.asarray(ot), np.asarray(rt))
+    np.testing.assert_array_equal(np.asarray(oo), np.asarray(ro))
