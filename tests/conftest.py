@@ -12,4 +12,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin force-appends itself to jax_platforms regardless of the
+# environment variable — override explicitly so tests always run on the
+# 8-device virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_prng_impl", "threefry2x32")
+assert jax.default_backend() == "cpu"
+assert jax.device_count() == 8, jax.devices()

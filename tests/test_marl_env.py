@@ -1,0 +1,187 @@
+"""End-to-end MARL environment tests on synthetic data (no LOBSTER files).
+
+Mirrors the reference's manual smoke harness (marl_env.py:834-1183): reset,
+multi-step random-action episodes, vmapped batched rollouts, auto-reset, and
+sanity invariants on books / rewards / infos.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jaxmarl_hft_tpu.config.structs import (ExecConfig, MMConfig,
+                                            MultiAgentConfig, WorldConfig)
+from jaxmarl_hft_tpu.envs.marl import MarlEnv
+
+
+def make_test_config(mm_kwargs=None, exec_kwargs=None, n_per_type=(1, 1),
+                     **world_kwargs):
+    wk = dict(synthetic_data=True, synthetic_n_msgs=40_000, ep_type="fixed_steps",
+              episode_time=16, start_resolution=16, n_data_msg_per_step=20,
+              nOrders=100, nTrades=100, use_pickles_for_init=False)
+    wk.update(world_kwargs)
+    agents = (("MarketMaking", MMConfig(**(mm_kwargs or
+                                           dict(action_space="fixed_quants",
+                                                observation_space="basic",
+                                                fixed_quant_value=1,
+                                                auto_liquidate_threshold=0,
+                                                unwind_price_penalty=0)))),
+              ("Execution", ExecConfig(**(exec_kwargs or
+                                          dict(action_space="fixed_quants_complex",
+                                               observation_space="engineered",
+                                               task_size=60)))))
+    return MultiAgentConfig(world_config=WorldConfig(**wk), agents=agents,
+                            number_of_agents_per_type=tuple(n_per_type))
+
+
+@pytest.fixture(scope="module")
+def env2p():
+    cfg = make_test_config()
+    return MarlEnv(jax.random.PRNGKey(0), cfg)
+
+
+def random_actions(env, key):
+    keys = jax.random.split(key, len(env.instance_list))
+    acts = []
+    for i, sp in enumerate(env.action_spaces):
+        n = env.config.number_of_agents_per_type[i]
+        a = jax.vmap(sp.sample)(jax.random.split(keys[i], n))
+        acts.append(a.squeeze() if n == 1 else a)
+    return acts
+
+
+def test_reset_shapes(env2p):
+    params = env2p.default_params
+    obs, state = env2p.reset_env(jax.random.PRNGKey(1), params)
+    assert len(obs) == 2
+    assert obs[0].shape == (1, 2)       # MM basic obs: (n_agents, 2)
+    assert obs[1].shape == (1, 12)      # Exec engineered fixed_steps: 12
+    # book invariants: bid < ask
+    from jaxmarl_hft_tpu.lob import queries
+    ba = queries.get_best_ask(env2p.world_config,
+                              state.world_state.ask_raw_orders)
+    bb = queries.get_best_bid(env2p.world_config,
+                              state.world_state.bid_raw_orders)
+    assert int(bb) < int(ba)
+    assert int(bb) > 0
+
+
+def test_episode_rollout(env2p):
+    env = env2p
+    params = env.default_params
+    key = jax.random.PRNGKey(2)
+    obs, state = env.reset_env(key, params)
+    done_seen = False
+    for t in range(16):
+        key, ak, sk = jax.random.split(key, 3)
+        acts = random_actions(env, ak)
+        obs, state, rewards, dones, info = env.step_env(sk, state, acts,
+                                                        params)
+        assert len(rewards) == 2
+        assert np.all(np.isfinite(np.asarray(rewards[0])))
+        assert np.all(np.isfinite(np.asarray(rewards[1])))
+        if bool(dones["__all__"]):
+            done_seen = True
+            break
+    assert done_seen, "episode should terminate within max_steps"
+    # fixed_steps episodes end when (max_steps - steps - 1) <= 1
+    assert int(state.world_state.step_counter) <= 16
+
+
+def test_step_counter_and_order_ids(env2p):
+    env = env2p
+    params = env.default_params
+    key = jax.random.PRNGKey(3)
+    obs, state = env.reset_env(key, params)
+    c0 = int(state.world_state.order_id_counter)
+    key, ak, sk = jax.random.split(key, 3)
+    obs, state, _, _, _ = env.step_env(sk, state, random_actions(env, ak),
+                                       params)
+    assert int(state.world_state.step_counter) == 1
+    assert int(state.world_state.order_id_counter) == \
+        c0 - env.num_action_msgs_per_step
+
+
+def test_auto_reset(env2p):
+    env = env2p
+    params = env.default_params
+    key = jax.random.PRNGKey(4)
+    obs, state = env.reset_env(key, params)
+    for t in range(20):
+        key, ak, sk = jax.random.split(key, 3)
+        obs, state, rewards, dones, info = env.step(sk, state,
+                                                    random_actions(env, ak),
+                                                    params)
+        if bool(dones["__all__"]):
+            break
+    # after auto-reset the step counter must be back at 0
+    assert int(state.world_state.step_counter) == 0
+
+
+def test_vmapped_rollout(env2p):
+    env = env2p
+    params = env.default_params
+    n_envs = 8
+    keys = jax.random.split(jax.random.PRNGKey(5), n_envs)
+    obs, state = jax.vmap(env.reset_env, in_axes=(0, None))(keys, params)
+
+    def one_step(carry, key):
+        state = carry
+        ak, sk = jax.random.split(key)
+        acts = []
+        for i, sp in enumerate(env.action_spaces):
+            n = env.config.number_of_agents_per_type[i]
+            a = jax.vmap(lambda kk: jax.vmap(sp.sample)(
+                jax.random.split(kk, n)))(jax.random.split(ak, n_envs))
+            acts.append(a.squeeze(1) if n == 1 else a)
+        step_keys = jax.random.split(sk, n_envs)
+        obs, state, rewards, dones, info = jax.vmap(
+            env.step, in_axes=(0, 0, 0, None))(step_keys, state, acts, params)
+        return state, (rewards, dones)
+
+    state, (rewards, dones) = jax.lax.scan(
+        one_step, state, jax.random.split(jax.random.PRNGKey(6), 24))
+    r0 = np.asarray(rewards[0])
+    assert r0.shape == (24, n_envs, 1)
+    assert np.all(np.isfinite(r0))
+    assert bool(np.any(np.asarray(dones["__all__"])))
+
+
+def test_multiple_agents_per_type():
+    cfg = make_test_config(n_per_type=(2, 3))
+    env = MarlEnv(jax.random.PRNGKey(0), cfg)
+    params = env.default_params
+    # disjoint trader ids across types
+    mm_ids = np.asarray(params.agent_params[0].trader_id)
+    ex_ids = np.asarray(params.agent_params[1].trader_id)
+    assert len(set(mm_ids) | set(ex_ids)) == 5
+    obs, state = env.reset_env(jax.random.PRNGKey(1), params)
+    assert obs[0].shape[0] == 2 and obs[1].shape[0] == 3
+    key = jax.random.PRNGKey(2)
+    for _ in range(3):
+        key, ak, sk = jax.random.split(key, 3)
+        obs, state, rewards, dones, info = env.step_env(
+            sk, state, random_actions(env, ak), params)
+    assert rewards[0].shape == (2,) and rewards[1].shape == (3,)
+
+
+def test_exec_task_progress():
+    """The execution agent should make progress on its task under an
+    aggressive scripted policy."""
+    cfg = make_test_config(
+        exec_kwargs=dict(action_space="fixed_quants_complex",
+                         observation_space="engineered", task_size=30,
+                         task="sell"))
+    env = MarlEnv(jax.random.PRNGKey(0), cfg)
+    params = env.default_params
+    key = jax.random.PRNGKey(7)
+    obs, state = env.reset_env(key, params)
+    for _ in range(10):
+        key, sk = jax.random.split(key)
+        acts = [jnp.asarray(0), jnp.asarray(9)]  # MM quote; exec 5x FT
+        obs, state, rewards, dones, info = env.step_env(sk, state, acts,
+                                                        params)
+        if bool(dones["__all__"]):
+            break
+    executed = int(state.agent_states[1].quant_executed[0])
+    assert executed > 0
