@@ -1,0 +1,112 @@
+"""Throughput benchmark: 2-player MARL env (MM fixed_quants + Exec
+fixed_quants_complex), random joint policy, warm-compiled rollout.
+
+Mirrors the reference's Speed_test.py harness (compile-first, then timed
+second run; metric = env-steps/s). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is value / 62_500 — the per-chip share of the 1M aggregate
+env-steps/s target on a v5e-16 (BASELINE.md north star; the reference repo
+publishes no numbers of its own).
+"""
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def build_env(n_data_msg=100, n_per_type=(1, 1)):
+    from jaxmarl_hft_tpu.config.structs import (ExecConfig, MMConfig,
+                                                MultiAgentConfig, WorldConfig)
+    from jaxmarl_hft_tpu.envs.marl import MarlEnv
+
+    world = WorldConfig(
+        synthetic_data=True, synthetic_n_msgs=400_000, ep_type="fixed_steps",
+        episode_time=64, start_resolution=64,
+        n_data_msg_per_step=n_data_msg, use_pickles_for_init=False)
+    agents = (
+        ("MarketMaking", MMConfig(action_space="fixed_quants",
+                                  observation_space="basic",
+                                  fixed_quant_value=1,
+                                  auto_liquidate_threshold=0,
+                                  unwind_price_penalty=0)),
+        ("Execution", ExecConfig(action_space="fixed_quants_complex",
+                                 observation_space="engineered",
+                                 task_size=600)),
+    )
+    cfg = MultiAgentConfig(world_config=world, agents=agents,
+                           number_of_agents_per_type=tuple(n_per_type))
+    return MarlEnv(jax.random.PRNGKey(0), cfg)
+
+
+def bench_rollout(env, n_envs, n_steps, seed=0):
+    params = env.default_params
+    n_per_type = list(env.config.number_of_agents_per_type)
+
+    reset_keys = jax.random.split(jax.random.PRNGKey(seed), n_envs)
+    obs, state = jax.jit(jax.vmap(env.reset_env, in_axes=(0, None))
+                         )(reset_keys, params)
+
+    def one_step(carry, key):
+        state = carry
+        ak, sk = jax.random.split(key)
+        actions = []
+        for i, sp in enumerate(env.action_spaces):
+            n = n_per_type[i]
+            a = jax.random.randint(jax.random.fold_in(ak, i),
+                                   (n_envs, n), 0, sp.n)
+            actions.append(a.squeeze(-1) if n == 1 else a)
+        step_keys = jax.random.split(sk, n_envs)
+        obs, state, rewards, dones, info = jax.vmap(
+            env.step, in_axes=(0, 0, 0, None))(step_keys, state, actions,
+                                               params)
+        return state, rewards[0][..., 0].sum()
+
+    @jax.jit
+    def rollout(state, key):
+        keys = jax.random.split(key, n_steps)
+        state, rs = jax.lax.scan(one_step, state, keys)
+        return state, rs.sum()
+
+    # compile
+    t0 = time.time()
+    state2, _ = rollout(state, jax.random.PRNGKey(1))
+    jax.block_until_ready(state2)
+    compile_time = time.time() - t0
+
+    # timed run
+    t0 = time.time()
+    state3, s = rollout(state, jax.random.PRNGKey(2))
+    jax.block_until_ready(state3)
+    elapsed = time.time() - t0
+
+    steps_per_sec = n_envs * n_steps / elapsed
+    return steps_per_sec, compile_time, elapsed
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--n-data-msg", type=int, default=100)
+    args = ap.parse_args()
+
+    env = build_env(n_data_msg=args.n_data_msg)
+    sps, compile_time, elapsed = bench_rollout(env, args.envs, args.steps)
+    target_per_chip = 1_000_000 / 16  # BASELINE.md: 1M aggregate on v5e-16
+    print(json.dumps({
+        "metric": "env_steps_per_sec",
+        "value": round(sps, 1),
+        "unit": "env-steps/s/chip (2-player MM+exec, 112 msgs/step)",
+        "vs_baseline": round(sps / target_per_chip, 3),
+    }))
+    print(f"# envs={args.envs} steps={args.steps} elapsed={elapsed:.2f}s "
+          f"compile={compile_time:.1f}s device={jax.devices()[0]}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

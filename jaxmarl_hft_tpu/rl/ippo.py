@@ -1,0 +1,385 @@
+"""IPPO-RNN trainer: on-device rollout + GAE + clipped PPO update, one
+network/optimizer per agent *type*.
+
+Parity reference: gymnax_exchange/jaxrl/MARL/ippo_rnn_JAXMARL.py:368-1142
+(make_train). Differences, all TPU-first:
+
+  * Multi-device scaling uses jit + Mesh/NamedSharding over the env batch
+    (see parallel/mesh.py) instead of the reference's single-host pmap +
+    lax.pmean (ippo_rnn_JAXMARL_pmap.py:566-793). Parameters are replicated,
+    the env/minibatch axis is sharded, and XLA inserts the gradient
+    all-reduce over ICI automatically.
+  * Metrics are returned from the jitted update and logged on the host by the
+    outer loop (the reference pushes them through io_callback to wandb).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training.train_state import TrainState
+
+from ..envs.marl import MarlEnv
+from ..envs import spaces as spaces_mod
+from .networks import ActorCriticRNN, ScannedRNN
+
+
+class Transition(NamedTuple):
+    """(reference :368-377)"""
+    global_done: jnp.ndarray
+    done: jnp.ndarray
+    action: jnp.ndarray
+    value: jnp.ndarray
+    reward: jnp.ndarray
+    log_prob: jnp.ndarray
+    obs: jnp.ndarray
+    info: Any
+
+
+def batchify(x: jnp.ndarray, num_actors):
+    return x.reshape((num_actors, -1))
+
+
+def unbatchify(x: jnp.ndarray, num_envs, num_agents):
+    return x.reshape((num_envs, num_agents, -1))
+
+
+def default_train_config(**overrides) -> Dict[str, Any]:
+    """Hyperparameters mirroring config/rl_configs/ippo_rnn_JAXMARL_2player
+    .yaml (per-type lists)."""
+    cfg = {
+        "SEED": 42,
+        "NUM_ENVS": 16,
+        "NUM_STEPS": 32,
+        "TOTAL_TIMESTEPS": 16 * 32 * 4,
+        "NUM_MINIBATCHES": 2,
+        "UPDATE_EPOCHS": 2,
+        "FC_DIM_SIZE": 64,
+        "GRU_HIDDEN_DIM": 64,
+        "CLIP_EPS": 0.2,
+        "SCALE_CLIP_EPS": False,
+        "AUTOREGRESSIVE": False,
+        # per-agent-type lists
+        "LR": [2.5e-4, 2.5e-4],
+        "GAMMA": [0.99, 0.99],
+        "GAE_LAMBDA": [0.95, 0.95],
+        "ENT_COEF": [0.01, 0.01],
+        "VF_COEF": [0.5, 0.5],
+        "MAX_GRAD_NORM": [0.5, 0.5],
+        "ANNEAL_LR": [True, True],
+    }
+    cfg.update(overrides)
+    return cfg
+
+
+def _action_dims(space) -> Any:
+    if isinstance(space, spaces_mod.Discrete):
+        return space.n
+    if isinstance(space, spaces_mod.MultiDiscrete):
+        return list(space.n)
+    if isinstance(space, spaces_mod.Box):
+        # integer-quantity Box (e.g. fixed_prices): one categorical head per
+        # dimension over [low, high]
+        return [int(space.high - space.low) + 1] * int(space.shape[0])
+    raise ValueError(f"Unsupported action space {space}")
+
+
+def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
+    """Build the train function. If `mesh` is given, the env batch is sharded
+    over its 'data' axis and parameters are replicated (multi-chip)."""
+    config = dict(config)
+    n_types = len(env.instance_list)
+    n_per_type = list(env.config.number_of_agents_per_type)
+    config["NUM_ACTORS_PERTYPE"] = [n * config["NUM_ENVS"]
+                                    for n in n_per_type]
+    config["NUM_ACTORS_TOTAL"] = env.num_agents * config["NUM_ENVS"]
+    config["NUM_UPDATES"] = int(config["TOTAL_TIMESTEPS"]
+                                // config["NUM_STEPS"] // config["NUM_ENVS"])
+    config["MINIBATCH_SIZES"] = [
+        nact * config["NUM_STEPS"] // config["NUM_MINIBATCHES"]
+        for nact in config["NUM_ACTORS_PERTYPE"]]
+
+    action_dims = [_action_dims(sp) for sp in env.action_spaces]
+    obs_dims = [sp.shape[0] for sp in env.observation_spaces]
+
+    def linear_schedule(lr, count):
+        frac = (1.0 - (count // (config["NUM_MINIBATCHES"]
+                                 * config["UPDATE_EPOCHS"]))
+                / config["NUM_UPDATES"])
+        return lr * frac
+
+    env_params = env.default_params
+
+    if mesh is not None:
+        from ..parallel.mesh import replicate
+        env_params = replicate(env_params, mesh)
+
+    def init_state(rng):
+        """Networks, optimisers, initial env states (reference :511-572)."""
+        train_states: List[TrainState] = []
+        hstates = []
+        init_dones = []
+        for i in range(n_types):
+            network = ActorCriticRNN(action_dims[i], config=config)
+            rng, _rng = jax.random.split(rng)
+            init_x = (
+                jnp.zeros((1, config["NUM_ENVS"], obs_dims[i])),
+                jnp.zeros((1, config["NUM_ENVS"])),
+            )
+            init_h = ScannedRNN.initialize_carry(config["NUM_ENVS"],
+                                                 config["GRU_HIDDEN_DIM"])
+            params = network.init(_rng, init_h, init_x)
+            if config["ANNEAL_LR"][i]:
+                tx = optax.chain(
+                    optax.clip_by_global_norm(config["MAX_GRAD_NORM"][i]),
+                    optax.adam(
+                        learning_rate=functools.partial(
+                            linear_schedule, config["LR"][i]),
+                        eps=1e-5))
+            else:
+                tx = optax.chain(
+                    optax.clip_by_global_norm(config["MAX_GRAD_NORM"][i]),
+                    optax.adam(config["LR"][i], eps=1e-5))
+            train_states.append(TrainState.create(
+                apply_fn=network.apply, params=params, tx=tx))
+            hstates.append(ScannedRNN.initialize_carry(
+                config["NUM_ACTORS_PERTYPE"][i], config["GRU_HIDDEN_DIM"]))
+            init_dones.append(jnp.zeros(
+                (config["NUM_ACTORS_PERTYPE"][i],), dtype=bool))
+
+        rng, _rng = jax.random.split(rng)
+        reset_rng = jax.random.split(_rng, config["NUM_ENVS"])
+        obsv, env_state = jax.vmap(env.reset, in_axes=(0, None))(reset_rng,
+                                                                 env_params)
+        return (train_states, env_state, obsv, init_dones, hstates, rng)
+
+    # ------------------------------------------------------------------ #
+
+    def _env_step(runner_state, unused):
+        """(reference :578-658)"""
+        train_states, env_state, last_obs, last_done, h_states, rng = \
+            runner_state
+        rng, _rng = jax.random.split(rng)
+
+        actions, values, log_probs = [], [], []
+        new_h = list(h_states)
+        for i, ts in enumerate(train_states):
+            obs_i = batchify(last_obs[i], config["NUM_ACTORS_PERTYPE"][i])
+            ac_in = (obs_i[jnp.newaxis, :], last_done[i][jnp.newaxis, :])
+            h, pi, value = ts.apply_fn(ts.params, h_states[i], ac_in)
+            new_h[i] = h
+            values.append(value)
+            action = pi.sample(seed=_rng)
+            log_probs.append(pi.log_prob(action))
+            action = unbatchify(action, config["NUM_ENVS"], n_per_type[i])
+            actions.append(action.squeeze())
+
+        rng, _rng = jax.random.split(rng)
+        rng_step = jax.random.split(_rng, config["NUM_ENVS"])
+        obsv, env_state, reward, done, info = jax.vmap(
+            env.step, in_axes=(0, 0, 0, None))(rng_step, env_state, actions,
+                                               env_params)
+
+        transitions = []
+        done_agents = []
+        for i, ts in enumerate(train_states):
+            done_i = batchify(done["agents"][i],
+                              config["NUM_ACTORS_PERTYPE"][i]).squeeze()
+            done_agents.append(done_i)
+            info_i = {
+                "world": info["world"],
+                "agent": jax.tree.map(
+                    lambda x: x.reshape(config["NUM_ACTORS_PERTYPE"][i], -1),
+                    info["agents"][i]),
+            }
+            transitions.append(Transition(
+                jnp.tile(done["__all__"], n_per_type[i]),
+                last_done[i],
+                batchify(actions[i],
+                         config["NUM_ACTORS_PERTYPE"][i]).squeeze(),
+                values[i].squeeze(),
+                batchify(reward[i],
+                         config["NUM_ACTORS_PERTYPE"][i]).squeeze(),
+                log_probs[i].squeeze(),
+                batchify(last_obs[i], config["NUM_ACTORS_PERTYPE"][i]),
+                info_i,
+            ))
+        runner_state = (train_states, env_state, obsv, done_agents, new_h,
+                        rng)
+        return runner_state, transitions
+
+    def _calculate_gae(gamma, gae_lambda, traj_batch, last_val):
+        """(reference :668-690)"""
+        def _get_advantages(gae_and_next, transition):
+            gae, next_value = gae_and_next
+            done, value, reward = (transition.global_done, transition.value,
+                                   transition.reward)
+            delta = reward + gamma * next_value * (1 - done) - value
+            gae = delta + gamma * gae_lambda * (1 - done) * gae
+            return (gae, value), gae
+
+        _, advantages = jax.lax.scan(
+            _get_advantages, (jnp.zeros_like(last_val), last_val),
+            traj_batch, reverse=True, unroll=16)
+        return advantages, advantages + traj_batch.value
+
+    def _update_step(update_runner_state, unused):
+        """One rollout + PPO update as a single XLA program
+        (reference :575-875)."""
+        runner_state, update_steps = update_runner_state
+        initial_hstates = runner_state[-2]
+        runner_state, traj_batch = jax.lax.scan(
+            _env_step, runner_state, None, config["NUM_STEPS"])
+
+        train_states, env_state, last_obs, last_dones, hstates_new, rng = \
+            runner_state
+
+        advantages, targets = [], []
+        for i, ts in enumerate(train_states):
+            last_obs_b = batchify(last_obs[i],
+                                  config["NUM_ACTORS_PERTYPE"][i])
+            ac_in = (last_obs_b[jnp.newaxis, :],
+                     last_dones[i][jnp.newaxis, :])
+            _, _, last_val = ts.apply_fn(ts.params, hstates_new[i], ac_in)
+            adv_i, tgt_i = _calculate_gae(
+                config["GAMMA"][i], config["GAE_LAMBDA"][i], traj_batch[i],
+                last_val.squeeze())
+            advantages.append(adv_i)
+            targets.append(tgt_i)
+
+        loss_infos = []
+        train_states = list(train_states)
+        for i in range(n_types):
+            def _update_epoch(update_state, unused, i=i):
+                def _update_minbatch(train_state, batch_info):
+                    init_hstate, traj_b, adv, tgt = batch_info
+
+                    def _loss_fn(params, init_hstate, traj_b, gae, tgt):
+                        _, pi, value = train_state.apply_fn(
+                            params, init_hstate.squeeze(),
+                            (traj_b.obs, traj_b.done))
+                        log_prob = pi.log_prob(traj_b.action)
+                        value_pred_clipped = traj_b.value + (
+                            value - traj_b.value
+                        ).clip(-config["CLIP_EPS"], config["CLIP_EPS"])
+                        value_losses = jnp.square(value - tgt)
+                        value_losses_clipped = jnp.square(
+                            value_pred_clipped - tgt)
+                        value_loss = 0.5 * jnp.maximum(
+                            value_losses, value_losses_clipped).mean()
+
+                        logratio = log_prob - traj_b.log_prob
+                        ratio = jnp.exp(logratio)
+                        gae = (gae - gae.mean()) / (gae.std() + 1e-8)
+                        loss_actor1 = ratio * gae
+                        loss_actor2 = jnp.clip(
+                            ratio, 1.0 - config["CLIP_EPS"],
+                            1.0 + config["CLIP_EPS"]) * gae
+                        loss_actor = -jnp.minimum(loss_actor1,
+                                                  loss_actor2).mean()
+                        entropy = pi.entropy().mean()
+                        approx_kl = ((ratio - 1) - logratio).mean()
+                        clip_frac = jnp.mean(
+                            jnp.abs(ratio - 1) > config["CLIP_EPS"])
+                        total_loss = (loss_actor
+                                      + config["VF_COEF"][i] * value_loss
+                                      - config["ENT_COEF"][i] * entropy)
+                        return total_loss, (value_loss, loss_actor, entropy,
+                                            ratio.mean(), approx_kl,
+                                            clip_frac)
+
+                    grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+                    total_loss, grads = grad_fn(train_state.params,
+                                                init_hstate, traj_b, adv,
+                                                tgt)
+                    train_state = train_state.apply_gradients(grads=grads)
+                    return train_state, total_loss
+
+                (train_state, init_hstate, traj_b, adv, tgt, rng) = \
+                    update_state
+                rng, _rng = jax.random.split(rng)
+                init_hstate_r = jnp.reshape(
+                    init_hstate, (1, config["NUM_ACTORS_PERTYPE"][i], -1))
+                batch = (init_hstate_r, traj_b, adv.squeeze(), tgt.squeeze())
+                permutation = jax.random.permutation(
+                    _rng, config["NUM_ACTORS_PERTYPE"][i])
+                shuffled = jax.tree.map(
+                    lambda x: jnp.take(x, permutation, axis=1), batch)
+                minibatches = jax.tree.map(
+                    lambda x: jnp.swapaxes(
+                        jnp.reshape(
+                            x, [x.shape[0], config["NUM_MINIBATCHES"], -1]
+                            + list(x.shape[2:])), 1, 0),
+                    shuffled)
+                train_state, total_loss = jax.lax.scan(
+                    _update_minbatch, train_state, minibatches)
+                return (train_state, init_hstate, traj_b, adv, tgt, rng), \
+                    total_loss
+
+            update_state = (train_states[i], initial_hstates[i],
+                            traj_batch[i], advantages[i], targets[i], rng)
+            update_state, loss_info = jax.lax.scan(
+                _update_epoch, update_state, None, config["UPDATE_EPOCHS"])
+            train_states[i] = update_state[0]
+            loss_infos.append(loss_info)
+
+        metrics = {"loss": [], "avg_reward": [], "agents": [], "world": []}
+        for i, loss_info in enumerate(loss_infos):
+            li = jax.tree.map(lambda x: x.mean(), loss_info)
+            metrics["loss"].append({
+                "total_loss": li[0],
+                "value_loss": li[1][0],
+                "actor_loss": li[1][1],
+                "entropy": li[1][2],
+                "ratio": li[1][3],
+                "approx_kl": li[1][4],
+                "clip_frac": li[1][5],
+            })
+            metrics["avg_reward"].append(jnp.mean(traj_batch[i].reward))
+            metrics["agents"].append(jax.tree.map(
+                lambda x: jnp.mean(jnp.asarray(x, jnp.float32)),
+                traj_batch[i].info["agent"]))
+        metrics["world"] = jax.tree.map(
+            lambda x: jnp.mean(jnp.asarray(x, jnp.float32)),
+            traj_batch[0].info["world"])
+
+        runner_state = (tuple(train_states), env_state, last_obs, last_dones,
+                        hstates_new, rng)
+        return (runner_state, update_steps + 1), metrics
+
+    # ------------------------------------------------------------------ #
+
+    update_step_jit = jax.jit(lambda urs: _update_step(urs, None))
+
+    def train(rng, *, num_updates=None, log_fn=None, checkpoint_manager=None):
+        """Outer host loop over jitted update steps (reference :1099-1133)."""
+        num_updates = num_updates or config["NUM_UPDATES"]
+        runner_state = init_state(rng)
+        if mesh is not None:
+            from ..parallel.mesh import shard_runner_state
+            runner_state = shard_runner_state(runner_state, mesh)
+        update_runner_state = (runner_state, 0)
+        all_metrics = []
+        for step in range(num_updates):
+            update_runner_state, metrics = update_step_jit(
+                update_runner_state)
+            metrics = jax.device_get(metrics)
+            all_metrics.append(metrics)
+            if log_fn is not None:
+                log_fn(step, metrics)
+            if checkpoint_manager is not None:
+                from .checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_manager, step,
+                                update_runner_state[0][0], metrics)
+        return {"runner_state": update_runner_state[0],
+                "metrics": all_metrics, "config": config}
+
+    train.init_state = init_state
+    train.update_step = _update_step
+    train.config = config
+    train.env_params = env_params
+    return train
