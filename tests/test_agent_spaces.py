@@ -1,0 +1,173 @@
+"""Coverage: every MM and Exec action space, observation space, and reward
+function runs through the full MARL step pipeline (SURVEY.md §2 L3 matrix).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jaxmarl_hft_tpu.config.structs import (ExecConfig, MMConfig,
+                                            MultiAgentConfig, WorldConfig)
+from jaxmarl_hft_tpu.envs.marl import MarlEnv
+
+WORLD = dict(synthetic_data=True, synthetic_n_msgs=30_000,
+             ep_type="fixed_steps", episode_time=8, start_resolution=8,
+             n_data_msg_per_step=10, use_pickles_for_init=False)
+
+MM_ACTION_SPACES = ["fixed_quants", "simple", "AvSt", "bobStrategy",
+                    "bobRL", "spread_skew", "directional_trading",
+                    "fixed_prices"]
+EXEC_ACTION_SPACES = ["fixed_quants", "fixed_quants_complex",
+                      "fixed_quants_1msg", "simplest_case", "twap",
+                      "fixed_prices"]
+MM_REWARDS = ["portfolio_value", "buy_sell_pnl", "complex", "zero_inv",
+              "spooner", "spooner_damped", "spooner_asym_damped",
+              "spooner_asym_damped2", "spooner_scaled",
+              "delta_portfolio_value"]
+EXEC_REWARDS = ["normal", "finish_fast", "simplest_case"]
+MM_OBS = ["engineered", "basic"]
+EXEC_OBS = ["engineered", "basic", "simplest_case"]
+
+
+def _run_env(mm_cfg=None, exec_cfg=None, steps=3, seed=0):
+    agents = []
+    if mm_cfg is not None:
+        agents.append(("MarketMaking", mm_cfg))
+    if exec_cfg is not None:
+        agents.append(("Execution", exec_cfg))
+    cfg = MultiAgentConfig(world_config=WorldConfig(**WORLD),
+                           agents=tuple(agents),
+                           number_of_agents_per_type=(1,) * len(agents))
+    env = MarlEnv(jax.random.PRNGKey(0), cfg)
+    params = env.default_params
+    key = jax.random.PRNGKey(seed)
+    obs, state = env.reset_env(key, params)
+    for _ in range(steps):
+        key, ak, sk = jax.random.split(key, 3)
+        actions = []
+        for i, sp in enumerate(env.action_spaces):
+            a = sp.sample(jax.random.fold_in(ak, i))
+            actions.append(a)
+        obs, state, rewards, dones, info = env.step_env(sk, state, actions,
+                                                        params)
+        for r in rewards:
+            assert np.all(np.isfinite(np.asarray(r))), r
+        for o in obs:
+            assert np.all(np.isfinite(np.asarray(o))), o
+    return env, obs, state, rewards
+
+
+MM_BASE = dict(observation_space="basic", fixed_quant_value=1,
+               auto_liquidate_threshold=0, unwind_price_penalty=0)
+
+
+@pytest.mark.parametrize("space", MM_ACTION_SPACES)
+def test_mm_action_space(space):
+    kw = dict(MM_BASE, action_space=space)
+    if space == "fixed_prices":
+        kw["n_actions"] = 4
+    env, obs, state, rewards = _run_env(mm_cfg=MMConfig(**kw))
+    assert obs[0].shape == (1, 2)
+
+
+@pytest.mark.parametrize("space", EXEC_ACTION_SPACES)
+def test_exec_action_space(space):
+    kw = dict(action_space=space, observation_space="basic", task_size=50)
+    if space == "fixed_prices":
+        kw["n_actions"] = 4
+    env, obs, state, rewards = _run_env(exec_cfg=ExecConfig(**kw))
+    assert obs[0].shape == (1, 3)
+
+
+@pytest.mark.parametrize("reward", MM_REWARDS)
+def test_mm_reward_function(reward):
+    kw = dict(MM_BASE, action_space="fixed_quants", reward_function=reward)
+    _run_env(mm_cfg=MMConfig(**kw))
+
+
+@pytest.mark.parametrize("penalty", ["none", "linear", "quadratic",
+                                     "threshold"])
+def test_mm_inventory_penalty(penalty):
+    kw = dict(MM_BASE, action_space="fixed_quants", inv_penalty=penalty)
+    _run_env(mm_cfg=MMConfig(**kw))
+
+
+@pytest.mark.parametrize("reward", EXEC_REWARDS)
+def test_exec_reward_function(reward):
+    _run_env(exec_cfg=ExecConfig(action_space="fixed_quants_complex",
+                                 observation_space="basic", task_size=50,
+                                 reward_function=reward))
+
+
+@pytest.mark.parametrize("obs_space", MM_OBS)
+def test_mm_obs_space(obs_space):
+    kw = dict(MM_BASE, action_space="fixed_quants",
+              observation_space=obs_space)
+    env, obs, state, rewards = _run_env(mm_cfg=MMConfig(**kw))
+    expected = env.observation_spaces[0].shape[0]
+    assert obs[0].shape == (1, expected)
+
+
+@pytest.mark.parametrize("obs_space", EXEC_OBS)
+def test_exec_obs_space(obs_space):
+    env, obs, state, rewards = _run_env(
+        exec_cfg=ExecConfig(action_space="fixed_quants_complex",
+                            observation_space=obs_space, task_size=50))
+    expected = env.observation_spaces[0].shape[0]
+    assert obs[0].shape == (1, expected)
+
+
+@pytest.mark.parametrize("ref_price", ["mid", "mid_avg", "far_touch",
+                                       "near_touch"])
+def test_mm_reference_price(ref_price):
+    kw = dict(MM_BASE, action_space="fixed_quants",
+              reference_price=ref_price)
+    _run_env(mm_cfg=MMConfig(**kw))
+
+
+@pytest.mark.parametrize("task", ["buy", "sell", "random"])
+def test_exec_task_direction(task):
+    env, obs, state, rewards = _run_env(
+        exec_cfg=ExecConfig(action_space="fixed_quants_complex",
+                            observation_space="basic", task_size=50,
+                            task=task))
+    ist = int(state.agent_states[0].is_sell_task[0])
+    if task == "buy":
+        assert ist == 0
+    elif task == "sell":
+        assert ist == 1
+
+
+def test_mm_auto_liquidate_path():
+    kw = dict(MM_BASE, action_space="fixed_quants",
+              auto_liquidate_threshold=5)
+    _run_env(mm_cfg=MMConfig(**kw))
+
+
+def test_fixed_time_mode():
+    world = dict(WORLD, ep_type="fixed_time", episode_time=600,
+                 start_resolution=600)
+    cfg = MultiAgentConfig(
+        world_config=WorldConfig(**world),
+        agents=(("MarketMaking",
+                 MMConfig(action_space="fixed_quants",
+                          observation_space="engineered",
+                          **{k: v for k, v in MM_BASE.items()
+                             if k != "observation_space"})),
+                ("Execution",
+                 ExecConfig(action_space="fixed_quants_complex",
+                            observation_space="engineered", task_size=50))),
+        number_of_agents_per_type=(1, 1))
+    env = MarlEnv(jax.random.PRNGKey(0), cfg)
+    params = env.default_params
+    key = jax.random.PRNGKey(1)
+    obs, state = env.reset_env(key, params)
+    # fixed_time engineered obs: MM 10 features, Exec 15
+    assert obs[0].shape == (1, 10)
+    assert obs[1].shape == (1, 15)
+    key, ak, sk = jax.random.split(key, 3)
+    actions = [env.action_spaces[0].sample(ak),
+               env.action_spaces[1].sample(ak)]
+    obs, state, rewards, dones, info = env.step_env(sk, state, actions,
+                                                    params)
+    assert np.all(np.isfinite(np.asarray(obs[0])))
