@@ -4,31 +4,40 @@ Parity reference: gymnax_exchange/jaxob/JaxOrderBookArrays.py. Behaviour is
 semantically identical (including the reference's edge-case quirks, which are
 called out inline), but the *implementation* is redesigned for TPU:
 
-* The reference matches an incoming order with a ``lax.while_loop`` that
-  repeatedly reduces over the whole book side to find the best order
-  (JaxOrderBookArrays.py:284-331). Data-dependent loop trip counts serialise
-  terribly under vmap (every env waits for the slowest env's loop).
+1. **Closed-form matching, no while-loop.** The reference matches an incoming
+   order with a ``lax.while_loop`` that repeatedly reduces over the whole
+   book side to find the best order (JaxOrderBookArrays.py:284-331).
+   Data-dependent trip counts serialise under vmap. Here the filled quantity
+   of each standing order is computed in closed form:
 
-* Here matching is **closed-form and fully vectorised**: for each standing
-  order ``i`` on the opposing side, the filled quantity is
+       fill_i = clip(q_incoming - S_i, 0, q_i)
 
-      fill_i = clip(q_incoming - S_i, 0, q_i)
+   where ``S_i`` is the total quantity of *crossing* standing orders with
+   strictly higher price-time priority, obtained from a pairwise priority
+   matrix (priority = (price, time_s, time_ns, slot) lexicographic, matching
+   the reference's top-order selection + ``jnp.where(size=1)`` first-index
+   tie-break). Bit-identical to sequential matching.
 
-  where ``S_i`` is the total quantity of *crossing* standing orders with
-  strictly higher price-time priority. ``S_i`` is computed from an (N, N)
-  pairwise priority matrix contracted against the quantity vector — a single
-  batched mat-vec that XLA maps onto the MXU, with zero data-dependent control
-  flow. This is bit-identical to sequential price-time-priority matching
-  (priority = (price, time_s, time_ns, slot index) lexicographic, matching the
-  reference's ``_get_top_{bid,ask}_order_idx`` + ``jnp.where(size=1)``
-  first-index tie-break).
+2. **Branchless dispatch.** The reference's ``lax.switch`` over five
+   type/side handlers computes *every* branch under vmap and then selects.
+   Here one unified handler processes limit/cancel/noop with masks and a
+   single direction-parameterised matcher — one priority matrix per message
+   instead of two, and no five-way select of full book states.
 
-Book side layout: (nOrders, 6) int32, columns per ``OrderCol``; empty slot
-rows are all -1. Trades: (nTrades, 8) int32 per ``TradeCol``.
+3. **Struct-of-arrays book state in the scan.** Book sides are held as six
+   (nOrders,) int32 planes (price/quant/oid/tid/ts/tns) and trades as eight
+   (nTrades,) planes inside the message scan, so every per-message op is a
+   well-tiled (batch, nOrders) vector op instead of a (batch, nOrders, 6)
+   op using 6 of 128 lanes.
 
-Messages are flat (8,) int32 vectors (``MsgCol``) — no Python dict assembly
-in the hot path (the reference builds a dict per message,
-JaxOrderBookArrays.py:575-582).
+4. **Dense one-hot writes, no scatter.** XLA lowers scatters/batched
+   dynamic-update-slice to serialised loops on TPU. All book/trade updates
+   are expressed as iota-compare selects and masked reductions.
+
+External API keeps the reference's (nOrders, 6) / (nTrades, 8) row-major
+arrays; conversion happens once per scan.
+
+Messages are flat (8,) int32 vectors (``MsgCol``).
 """
 from __future__ import annotations
 
@@ -62,88 +71,81 @@ def _remove_zero_neg_quant(side: jax.Array) -> jax.Array:
                      jnp.full_like(side, -1), side)
 
 
-def _first_row_with_neg1(arr2d: jax.Array) -> jax.Array:
-    """Row index of the first row containing any -1; -1 if none.
-
-    Matches ``jnp.where(arr == -1, size=1, fill_value=-1)[0]`` row-major
-    semantics used throughout the reference (e.g. add_order :73). A -1 index
-    deliberately wraps to the *last* row on ``.at[idx]`` updates — the
-    reference relies on that when the buffer is full.
-    """
-    row_has = jnp.any(arr2d == -1, axis=1)
-    idx = jnp.argmax(row_has)
-    return jnp.where(jnp.any(row_has), idx, -1).astype(I32)
-
-
 def _first_true(mask: jax.Array) -> jax.Array:
     """First index where mask is True; -1 if none (jnp.where(size=1) parity)."""
     idx = jnp.argmax(mask)
     return jnp.where(jnp.any(mask), idx, -1).astype(I32)
 
 
+def _first_row_with_neg1(arr2d: jax.Array) -> jax.Array:
+    """Row index of the first row containing any -1; -1 if none. Matches the
+    reference's ``jnp.where(arr == -1, size=1, fill_value=-1)[0]`` row-major
+    semantics (add_order :73, add_trade :887)."""
+    return _first_true(jnp.any(arr2d == -1, axis=1))
+
+
+def _onehot_row_set(arr2d: jax.Array, idx, row: jax.Array) -> jax.Array:
+    """arr2d.at[idx].set(row) without a scatter; negative idx wraps like
+    ``.at`` (the reference leans on .at[-1] writing the last row)."""
+    n = arr2d.shape[0]
+    idx_eff = jnp.where(idx < 0, n + idx, idx)
+    sel = (jax.lax.broadcasted_iota(I32, (n,), 0) == idx_eff)
+    return jnp.where(sel[:, None], row[None, :], arr2d)
+
+
 # --------------------------------------------------------------------------- #
-# Core operations
+# Struct-of-arrays conversion (internal hot-path layout)
 # --------------------------------------------------------------------------- #
 
-def add_order(side: jax.Array, price, quant, oid, tid, time_s, time_ns
-              ) -> jax.Array:
-    """Insert an order into the first empty slot (reference: add_order :62-83).
-
-    Negative quantities are floored at 0 and then swept by
-    ``_remove_zero_neg_quant`` so they never enter the book.
-    """
-    idx = _first_row_with_neg1(side)
-    row = jnp.stack([price, jnp.maximum(0, quant), oid, tid,
-                     time_s, time_ns]).astype(I32)
-    side = side.at[idx, :].set(row)
-    return _remove_zero_neg_quant(side)
+def _side_to_soa(side: jax.Array):
+    """(n, 6) row-major -> 6 planes of (n,)."""
+    return tuple(side[:, i] for i in range(6))
 
 
-def _priority_better(side: jax.Array, crossing: jax.Array, is_ask_side: bool
-                     ) -> jax.Array:
-    """(N, N) bool matrix: better[j, i] == "crossing order j has strictly
-    higher price-time priority than order i".
+def _side_from_soa(soa) -> jax.Array:
+    return jnp.stack(soa, axis=1)
 
-    Priority is lexicographic (price, time_s, time_ns, slot index); for the
-    ask side lower price wins, for the bid side higher price wins — identical
-    to the reference's top-order selection (:241-268).
-    """
-    p = side[:, OrderCol.PRICE]
-    ts = side[:, OrderCol.TIME_S]
-    tn = side[:, OrderCol.TIME_NS]
+
+def _trades_to_soa(trades: jax.Array):
+    return tuple(trades[:, i] for i in range(8))
+
+
+def _trades_from_soa(soa) -> jax.Array:
+    return jnp.stack(soa, axis=1)
+
+
+# --------------------------------------------------------------------------- #
+# Core SoA kernels
+# --------------------------------------------------------------------------- #
+
+def _priority_better_soa(p, ts, tn, crossing, opp_is_ask):
+    """(n, n) bool: better[j, i] == crossing j has strictly higher priority
+    than i. Lexicographic (price, time_s, time_ns, slot); lower price wins on
+    the ask side, higher on the bid side (reference :241-268)."""
     n = p.shape[0]
-    idx = jax.lax.broadcasted_iota(I32, (n, n), 0)      # j
-    idx_i = jax.lax.broadcasted_iota(I32, (n, n), 1)    # i
-
+    idx_j = jax.lax.broadcasted_iota(I32, (n, n), 0)
+    idx_i = jax.lax.broadcasted_iota(I32, (n, n), 1)
     pj, pi = p[:, None], p[None, :]
-    if is_ask_side:
-        price_better = pj < pi
-    else:
-        price_better = pj > pi
-    price_eq = pj == pi
+    price_better = jnp.where(opp_is_ask, pj < pi, pj > pi)
     tsj, tsi = ts[:, None], ts[None, :]
     tnj, tni = tn[:, None], tn[None, :]
-    time_better = (tsj < tsi) | ((tsj == tsi) & ((tnj < tni) |
-                                                 ((tnj == tni) & (idx < idx_i))))
-    better = price_better | (price_eq & time_better)
-    return better & crossing[:, None]
+    time_better = (tsj < tsi) | ((tsj == tsi) & (
+        (tnj < tni) | ((tnj == tni) & (idx_j < idx_i))))
+    return (price_better | ((pj == pi) & time_better)) & crossing[:, None]
 
 
-def _match_side(nTrades: int, opp: jax.Array, trades: jax.Array,
-                qtm, price, agr_oid, time_s, time_ns, agr_tid, side_sign,
-                is_ask_side: bool):
-    """Wrapper producing the final (opp, qtm_left, trades) tuple."""
-    p = opp[:, OrderCol.PRICE]
-    q = opp[:, OrderCol.QUANT]
-    oid = opp[:, OrderCol.OID]
-    tid = opp[:, OrderCol.TID]
+def _match_soa(nTrades, opp, trades, qtm, price, agr_oid, time_s, time_ns,
+               agr_tid, side_sign, opp_is_ask):
+    """Match ``qtm`` at limit ``price`` against the opposing SoA side;
+    returns (new_opp, qtm_left, new_trades). Replaces the reference while-loop
+    (:284-331) with the closed-form prefix fill; trade rows land in match
+    (priority) order from the first empty trade slot, with sequential-
+    overwrite semantics on overflow."""
+    p, q, oid, tid, ts, tn = opp
     valid = p != -1
-    if is_ask_side:
-        crossing = valid & (p <= price)
-    else:
-        crossing = valid & (p >= price)
+    crossing = valid & jnp.where(opp_is_ask, p <= price, p >= price)
 
-    better = _priority_better(opp, crossing, is_ask_side)
+    better = _priority_better_soa(p, ts, tn, crossing, opp_is_ask)
     S = jnp.sum(jnp.where(better, q[:, None], 0), axis=0).astype(I32)
     fill = jnp.where(crossing, jnp.clip(qtm - S, 0, q), 0).astype(I32)
     qtm_left = (qtm - jnp.sum(fill)).astype(I32)
@@ -151,8 +153,9 @@ def _match_side(nTrades: int, opp: jax.Array, trades: jax.Array,
     filled = fill > 0
     rank = jnp.sum(better & filled[:, None], axis=0).astype(I32)
 
-    empty_mask = trades[:, 4] == -1  # reference quirk: col 4 (time_s), :205
-    first_empty = _first_true(empty_mask)
+    # Reference empty-slot test: trades[:, 4] == -1 (time_s column — it
+    # indexes the *trades* array with LOBMSGFEAT.OID=4, :205).
+    first_empty = _first_true(trades[4] == -1)
     base = jnp.where(first_empty >= 0, first_empty, nTrades - 1)
     slot = base + rank
     overflow = filled & (slot >= nTrades - 1)
@@ -160,248 +163,297 @@ def _match_side(nTrades: int, opp: jax.Array, trades: jax.Array,
     write = filled & ((slot < nTrades - 1) | (rank == max_rank_overflow))
     slot = jnp.clip(slot, 0, nTrades - 1)
 
-    trade_rows = jnp.stack([
-        p,
-        (-side_sign * fill).astype(I32),
-        oid,
-        jnp.broadcast_to(jnp.asarray(agr_oid, I32), p.shape),
-        jnp.broadcast_to(jnp.asarray(time_s, I32), p.shape),
-        jnp.broadcast_to(jnp.asarray(time_ns, I32), p.shape),
-        tid,
-        jnp.broadcast_to(jnp.asarray(agr_tid, I32), p.shape),
-    ], axis=1)
+    # Dense write: M[t, i] = write_i & (slot_i == t). Each slot has at most
+    # one writer, so a masked sum reconstructs the written row.
+    t_iota = jax.lax.broadcasted_iota(I32, (nTrades, slot.shape[0]), 0)
+    M = write[None, :] & (slot[None, :] == t_iota)
+    hit = jnp.any(M, axis=1)
 
-    safe_slot = jnp.where(write, slot, nTrades)  # out-of-range rows dropped
-    trades = trades.at[safe_slot, :].set(trade_rows, mode="drop")
+    def write_field(cur, vals):
+        v = jnp.sum(jnp.where(M, vals[None, :], 0), axis=1).astype(I32)
+        return jnp.where(hit, v, cur)
 
-    # book update after trade rows captured the pre-fill ids
+    b = lambda x: jnp.broadcast_to(jnp.asarray(x, I32), p.shape)
+    new_trades = (
+        write_field(trades[0], p),
+        write_field(trades[1], (-side_sign * fill).astype(I32)),
+        write_field(trades[2], oid),
+        write_field(trades[3], b(agr_oid)),
+        write_field(trades[4], b(time_s)),
+        write_field(trades[5], b(time_ns)),
+        write_field(trades[6], tid),
+        write_field(trades[7], b(agr_tid)),
+    )
+
+    # book update (sweep fully-filled rows to -1)
     new_q = (q - fill).astype(I32)
-    opp = opp.at[:, OrderCol.QUANT].set(new_q)
-    opp = _remove_zero_neg_quant(opp)
-    return opp, qtm_left, trades
+    dead = new_q <= 0
+    neg1 = jnp.full_like(p, -1)
+    new_opp = tuple(jnp.where(dead, neg1, x) for x in
+                    (p, new_q, oid, tid, ts, tn))
+    return new_opp, qtm_left, new_trades
+
+
+def _add_order_soa(own, price, quant, oid_v, tid_v, ts_v, tn_v):
+    """Insert at the first row containing any -1 (reference add_order :62-83
+    scans the whole (n,6) row for -1), then sweep q <= 0 rows."""
+    p, q, oid, tid, ts, tn = own
+    any_neg1 = ((p == -1) | (q == -1) | (oid == -1) | (tid == -1)
+                | (ts == -1) | (tn == -1))
+    idx = _first_true(any_neg1)
+    n = p.shape[0]
+    idx_eff = jnp.where(idx < 0, n + idx, idx)
+    sel = jax.lax.broadcasted_iota(I32, (n,), 0) == idx_eff
+    quant = jnp.maximum(0, quant)
+    p2 = jnp.where(sel, price, p).astype(I32)
+    q2 = jnp.where(sel, quant, q).astype(I32)
+    oid2 = jnp.where(sel, oid_v, oid).astype(I32)
+    tid2 = jnp.where(sel, tid_v, tid).astype(I32)
+    ts2 = jnp.where(sel, ts_v, ts).astype(I32)
+    tn2 = jnp.where(sel, tn_v, tn).astype(I32)
+    dead = q2 <= 0
+    neg1 = jnp.full_like(p, -1)
+    return tuple(jnp.where(dead, neg1, x)
+                 for x in (p2, q2, oid2, tid2, ts2, tn2))
+
+
+def _evict_worst_if_full_soa(own, own_is_bid):
+    """If the side is full, clear every order at the worst price
+    (reference: check_book_fill blocks :395-408, :484-497). Runs before every
+    limit-order add, even zero-quantity ones, matching the reference."""
+    p = own[0]
+    full = jnp.all(p >= 0)
+    worst = jnp.where(own_is_bid, jnp.min(p), jnp.max(p))
+    clear = full & (p == worst)
+    neg1 = jnp.full_like(p, -1)
+    return tuple(jnp.where(clear, neg1, x) for x in own)
+
+
+def _cancel_idx_soa(cfg, key, own, price, quant, msg_oid):
+    """Slot to cancel: oid match, then init-order fallback, then (modes 2/3)
+    random fallback (reference: cancel_order :93-117 + get_init_id_match
+    :120-139 + get_random_id_match :141-164)."""
+    p, q, oid, tid, ts, tn = own
+    idx = _first_true(oid == msg_oid)
+    init_m = ((p == price) & (oid <= cfg.init_id)
+              & (oid >= cfg.init_id - cfg.book_depth * 2) & (q >= quant))
+    idx = jnp.where(idx == -1, _first_true(init_m), idx)
+    if cfg.cancel_mode in (2, 3):
+        def rand_idx(k, require_quant):
+            m = p == price
+            if require_quant:
+                m = m & (q >= quant)
+            ids = jnp.where(m, oid, 0)
+            k2, _ = jax.random.split(k)
+            chosen = jax.random.choice(
+                k2, ids, p=jnp.abs(jnp.sign(ids)).astype(jnp.float32))
+            return _first_true(oid == chosen)
+        r = rand_idx(key, True)
+        if cfg.cancel_mode == 3:
+            inner, _ = jax.random.split(key)
+            r = jnp.where(r == -1, rand_idx(inner, False), r)
+        idx = jnp.where(idx == -1, r, idx)
+    return idx
+
+
+def _cancel_soa(cfg, key, own, price, quant, msg_oid):
+    """Subtract quantity at the matched slot; an unmatched cancel hits the
+    last row (.at[-1] reference quirk), then sweep q <= 0."""
+    p, q, oid, tid, ts, tn = own
+    idx = _cancel_idx_soa(cfg, key, own, price, quant, msg_oid)
+    n = p.shape[0]
+    idx_eff = jnp.where(idx < 0, n + idx, idx)
+    sel = jax.lax.broadcasted_iota(I32, (n,), 0) == idx_eff
+    q2 = jnp.where(sel, q - quant, q).astype(I32)
+    dead = q2 <= 0
+    neg1 = jnp.full_like(p, -1)
+    return tuple(jnp.where(dead, neg1, x) for x in (p, q2, oid, tid, ts, tn))
 
 
 # --------------------------------------------------------------------------- #
-# Cancellation
+# Branchless unified message application
 # --------------------------------------------------------------------------- #
 
-def _init_id_match_idx(cfg, side: jax.Array, price, quant) -> jax.Array:
-    """Fallback: cancel against an initial-book order at the same price
-    (reference: get_init_id_match :120-139)."""
-    oid = side[:, OrderCol.OID]
-    m = ((side[:, OrderCol.PRICE] == price)
-         & (oid <= cfg.init_id)
-         & (oid >= cfg.init_id - cfg.book_depth * 2)
-         & (side[:, OrderCol.QUANT] >= quant))
-    return _first_true(m)
+def _branch_index(t, s_eff):
+    """Branch selection formula (reference: cond_type_side :587-594),
+    computed on the type and the (type-4-flipped) side."""
+    return (((s_eff == -1) & ((t == 1) | (t == 4))) * 0
+            + ((s_eff == 1) & ((t == 1) | (t == 4))) * 1
+            + ((s_eff == -1) & ((t == 2) | (t == 3))) * 2
+            + ((s_eff == 1) & ((t == 2) | (t == 3))) * 3
+            + ((s_eff == 0) & (t == 0)) * 4)
 
 
-def _random_id_match_idx(key, side: jax.Array, price, quant,
-                         require_quant: bool) -> jax.Array:
-    """Random-order cancel fallback (reference: get_random_id_match :141-155
-    and get_random_large_id_match :157-164)."""
-    m = side[:, OrderCol.PRICE] == price
-    if require_quant:
-        m = m & (side[:, OrderCol.QUANT] >= quant)
-    order_ids = jnp.where(m, side[:, OrderCol.OID], 0)
-    key, _ = jax.random.split(key)
-    chosen = jax.random.choice(key, order_ids,
-                               p=jnp.abs(jnp.sign(order_ids)).astype(jnp.float32))
-    return _first_true(side[:, OrderCol.OID] == chosen)
+def _apply_message_soa(cfg, state, key, msg):
+    """Process one (8,) message against the SoA book state. Equivalent to the
+    reference's lax.switch over {ask_lim, bid_lim, ask_cancel, bid_cancel,
+    noop} (:555-637) but branchless: every path is computed on masked data
+    and merged with selects — a single matcher invocation per message."""
+    asks, bids, trades = state
+    t = msg[MsgCol.TYPE]
+    s_eff = jnp.where(t == 4, -msg[MsgCol.SIDE], msg[MsgCol.SIDE])
+    idx = _branch_index(t, s_eff)
+
+    is_lim = idx <= 1               # {ask_lim, bid_lim} incl. the reference's
+    #                                 degenerate fallthrough (index 0)
+    is_cancel = (idx == 2) | (idx == 3)
+    active_is_bid = (idx == 1) | (idx == 3)   # own side is the bid side
+
+    own = tuple(jnp.where(active_is_bid, b_, a_)
+                for a_, b_ in zip(asks, bids))
+    opp = tuple(jnp.where(active_is_bid, a_, b_)
+                for a_, b_ in zip(asks, bids))
+    # For limits: own side receives the remainder, opp side is matched.
+    # opp is the ask side exactly when the incoming order is a bid.
+    opp_is_ask = active_is_bid
+
+    price = msg[MsgCol.PRICE]
+    quant = msg[MsgCol.QUANT]
+
+    # --- limit path -------------------------------------------------------
+    match_price = price
+    if cfg.type_4_interpretation == cst.Type4.MKT:
+        # reference quirk: ask_lim forces price 0 *before* matching (:471),
+        # bid_lim forces maxint only for the add, *after* matching (:391)
+        match_price = jnp.where(idx == 0, 0, price)
+
+    qtm = jnp.where(is_lim, quant, 0)
+    opp_matched, qtm_left, trades_matched = _match_soa(
+        cfg.nTrades, opp, trades, qtm, match_price, msg[MsgCol.OID],
+        msg[MsgCol.TIME_S], msg[MsgCol.TIME_NS], msg[MsgCol.TID],
+        side_sign=s_eff, opp_is_ask=opp_is_ask)
+
+    own_for_add = own
+    if cfg.check_book_fill:
+        own_for_add = _evict_worst_if_full_soa(own, active_is_bid)
+
+    add_price = match_price
+    if cfg.type_4_interpretation == cst.Type4.MKT:
+        add_price = jnp.where(idx == 1, cfg.maxint, match_price)
+
+    own_added = _add_order_soa(own_for_add, add_price, qtm_left,
+                               msg[MsgCol.OID], msg[MsgCol.TID],
+                               msg[MsgCol.TIME_S], msg[MsgCol.TIME_NS])
+    if cfg.type_4_interpretation in (cst.Type4.IOC, cst.Type4.MKT):
+        # type-4 remainder is not added; the evicted-but-not-added book is
+        # kept (reference :418)
+        suppress = t == 4
+        own_after_lim = tuple(jnp.where(suppress, a_, b_)
+                              for a_, b_ in zip(own_for_add, own_added))
+    else:
+        own_after_lim = own_added
+
+    # --- cancel path ------------------------------------------------------
+    own_cancelled = _cancel_soa(cfg, key, own, price, quant, msg[MsgCol.OID])
+
+    # --- merge ------------------------------------------------------------
+    new_own = tuple(
+        jnp.where(is_cancel, c_, jnp.where(is_lim, l_, o_))
+        for c_, l_, o_ in zip(own_cancelled, own_after_lim, own))
+    new_opp = tuple(jnp.where(is_lim, m_, o_)
+                    for m_, o_ in zip(opp_matched, opp))
+    new_trades = tuple(jnp.where(is_lim, m_, t_)
+                       for m_, t_ in zip(trades_matched, trades))
+
+    new_asks = tuple(jnp.where(active_is_bid, opp_, own_)
+                     for opp_, own_ in zip(new_opp, new_own))
+    new_bids = tuple(jnp.where(active_is_bid, own_, opp_)
+                     for opp_, own_ in zip(new_opp, new_own))
+    return (new_asks, new_bids, new_trades)
+
+
+def _best_bid_ask_quants_soa(cfg, asks, bids):
+    """Best (price, volume) per side in SoA form (reference :967-984)."""
+    ap, aq = asks[0], asks[1]
+    bp, bq = bids[0], bids[1]
+    best_ask = jnp.min(jnp.where(ap == -1, cfg.maxint, ap))
+    best_ask = jnp.where(best_ask == cfg.maxint, -1, best_ask)
+    best_bid = jnp.max(bp)
+    ask_vol = jnp.sum(jnp.where(ap == best_ask, aq, 0))
+    bid_vol = jnp.sum(jnp.where(bp == best_bid, bq, 0))
+    return (jnp.stack([best_ask, ask_vol]).astype(I32),
+            jnp.stack([best_bid, bid_vol]).astype(I32))
+
+
+# --------------------------------------------------------------------------- #
+# Public row-major operations (API-compatible with the reference)
+# --------------------------------------------------------------------------- #
+
+def add_order(side: jax.Array, price, quant, oid, tid, time_s, time_ns
+              ) -> jax.Array:
+    """Insert an order into the first empty slot (reference: add_order
+    :62-83)."""
+    return _side_from_soa(_add_order_soa(
+        _side_to_soa(side), price, quant, oid, tid, time_s, time_ns))
 
 
 def cancel_order(cfg, key, side: jax.Array, msg: jax.Array) -> jax.Array:
-    """Remove quantity from the order matching the message's order id
-    (reference: cancel_order :93-117). If no id matches, falls back to
-    initial-book orders at the same price; cancel_mode 2/3 adds a random
-    fallback. A still-unmatched cancel subtracts from row -1 (the last row) —
-    a reference quirk kept for bit parity.
-    """
-    price = msg[MsgCol.PRICE]
-    quant = msg[MsgCol.QUANT]
-    idx = _first_true(side[:, OrderCol.OID] == msg[MsgCol.OID])
-    init_idx = _init_id_match_idx(cfg, side, price, quant)
-    idx = jnp.where(idx == -1, init_idx, idx)
-    if cfg.cancel_mode in (2, 3):
-        rand_idx = _random_id_match_idx(key, side, price, quant,
-                                        require_quant=True)
-        if cfg.cancel_mode == 3:
-            # the reference threads the once-split key into the large-order
-            # fallback (get_random_id_match :149-154)
-            inner_key, _ = jax.random.split(key)
-            rand_large = _random_id_match_idx(inner_key, side, price, quant,
-                                              require_quant=False)
-            rand_idx = jnp.where(rand_idx == -1, rand_large, rand_idx)
-        idx = jnp.where(idx == -1, rand_idx, idx)
-    side = side.at[idx, OrderCol.QUANT].set(side[idx, OrderCol.QUANT] - quant)
-    return _remove_zero_neg_quant(side)
-
-
-# --------------------------------------------------------------------------- #
-# Message handlers (type/side dispatch targets)
-# --------------------------------------------------------------------------- #
-
-def _evict_worst_if_full(side: jax.Array, is_bid_side: bool) -> jax.Array:
-    """If the side is full, clear every order at the worst price to make room
-    (reference: check_book_fill blocks in bid_lim/ask_lim :395-408, :484-497).
-    Runs unconditionally before adding — even for zero-quantity messages,
-    matching the reference."""
-    p = side[:, OrderCol.PRICE]
-    full = jnp.all(p >= 0)
-    worst = jnp.min(p) if is_bid_side else jnp.max(p)
-    cleared = jnp.where((p == worst)[:, None], jnp.full_like(side, -1), side)
-    return jnp.where(full, cleared, side)
-
-
-def bid_lim(cfg, msg, askside, bidside, trades):
-    """Incoming bid limit order (reference: bid_lim :357-420): match against
-    asks, then add the remainder to the bid side (suppressed for type-4 under
-    IOC/MKT interpretation)."""
-    askside, qtm_left, trades = _match_side(
-        cfg.nTrades, askside, trades,
-        msg[MsgCol.QUANT], msg[MsgCol.PRICE], msg[MsgCol.OID],
-        msg[MsgCol.TIME_S], msg[MsgCol.TIME_NS], msg[MsgCol.TID],
-        side_sign=msg[MsgCol.SIDE], is_ask_side=True)
-
-    add_price = msg[MsgCol.PRICE]
-    if cfg.type_4_interpretation == cst.Type4.MKT:
-        # reference sets the price *after* matching on the bid side (:391-392)
-        add_price = jnp.asarray(cfg.maxint, I32)
-
-    if cfg.check_book_fill:
-        bidside = _evict_worst_if_full(bidside, is_bid_side=True)
-
-    bids_added = add_order(bidside, add_price, qtm_left, msg[MsgCol.OID],
-                           msg[MsgCol.TID], msg[MsgCol.TIME_S],
-                           msg[MsgCol.TIME_NS])
-    if cfg.type_4_interpretation in (cst.Type4.IOC, cst.Type4.MKT):
-        # type-4 remainders are not added (the evicted-but-not-added book is
-        # kept for type 4 — reference quirk, :418)
-        bids = jnp.where(msg[MsgCol.TYPE] == 4, bidside, bids_added)
-    else:
-        bids = bids_added
-    return askside, bids, trades
-
-
-def ask_lim(cfg, msg, askside, bidside, trades):
-    """Incoming ask limit order (reference: ask_lim :446-508)."""
-    match_price = msg[MsgCol.PRICE]
-    if cfg.type_4_interpretation == cst.Type4.MKT:
-        # asymmetric to bid_lim: price forced to 0 *before* matching (:471-472)
-        match_price = jnp.asarray(0, I32)
-
-    bidside, qtm_left, trades = _match_side(
-        cfg.nTrades, bidside, trades,
-        msg[MsgCol.QUANT], match_price, msg[MsgCol.OID],
-        msg[MsgCol.TIME_S], msg[MsgCol.TIME_NS], msg[MsgCol.TID],
-        side_sign=msg[MsgCol.SIDE], is_ask_side=False)
-
-    if cfg.check_book_fill:
-        askside = _evict_worst_if_full(askside, is_bid_side=False)
-
-    asks_added = add_order(askside, match_price, qtm_left, msg[MsgCol.OID],
-                           msg[MsgCol.TID], msg[MsgCol.TIME_S],
-                           msg[MsgCol.TIME_NS])
-    if cfg.type_4_interpretation in (cst.Type4.IOC, cst.Type4.MKT):
-        asks = jnp.where(msg[MsgCol.TYPE] == 4, askside, asks_added)
-    else:
-        asks = asks_added
-    return asks, bidside, trades
-
-
-def bid_cancel(cfg, key, msg, askside, bidside, trades):
-    return askside, cancel_order(cfg, key, bidside, msg), trades
-
-
-def ask_cancel(cfg, key, msg, askside, bidside, trades):
-    return cancel_order(cfg, key, askside, msg), bidside, trades
-
-
-def do_nothing(cfg, key, msg, askside, bidside, trades):
-    return askside, bidside, trades
-
-
-# --------------------------------------------------------------------------- #
-# Dispatch + scan
-# --------------------------------------------------------------------------- #
-
-def _branch_index(msg: jax.Array) -> jax.Array:
-    """Branch selection (reference: cond_type_side :587-594). Type-4 messages
-    flip side before dispatch (:575)."""
-    t = msg[MsgCol.TYPE]
-    s = jnp.where(t == 4, -msg[MsgCol.SIDE], msg[MsgCol.SIDE])
-    return (((s == -1) & ((t == 1) | (t == 4))) * 0
-            + ((s == 1) & ((t == 1) | (t == 4))) * 1
-            + ((s == -1) & ((t == 2) | (t == 3))) * 2
-            + ((s == 1) & ((t == 2) | (t == 3))) * 3
-            + ((s == 0) & (t == 0)) * 4)
-
-
-def _effective_msg(msg: jax.Array) -> jax.Array:
-    """Message with side flipped for type-4, as seen by the handlers."""
-    t = msg[MsgCol.TYPE]
-    s = jnp.where(t == 4, -msg[MsgCol.SIDE], msg[MsgCol.SIDE])
-    return msg.at[MsgCol.SIDE].set(s)
+    """Remove quantity by order id with init-order / random fallbacks
+    (reference: cancel_order :93-117)."""
+    return _side_from_soa(_cancel_soa(
+        cfg, key, _side_to_soa(side), msg[MsgCol.PRICE], msg[MsgCol.QUANT],
+        msg[MsgCol.OID]))
 
 
 def apply_message(cfg, book_state, key, msg):
-    """Process a single (8,) message through the book
+    """Process a single (8,) message through a row-major book state
     (reference: cond_type_side :555-637)."""
     askside, bidside, trades = book_state
-    m = _effective_msg(msg)
-    index = _branch_index(msg)
-    branches = (
-        lambda a, b, t: ask_lim(cfg, m, a, b, t),
-        lambda a, b, t: bid_lim(cfg, m, a, b, t),
-        lambda a, b, t: ask_cancel(cfg, key, m, a, b, t),
-        lambda a, b, t: bid_cancel(cfg, key, m, a, b, t),
-        lambda a, b, t: (a, b, t),
-    )
-    ask, bid, tr = jax.lax.switch(index, branches, askside, bidside, trades)
-    return (ask, bid, tr)
+    soa = (_side_to_soa(askside), _side_to_soa(bidside),
+           _trades_to_soa(trades))
+    a, b, t = _apply_message_soa(cfg, soa, key, msg)
+    return (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(t))
 
 
 def scan_messages(cfg, key, msgs, book_state):
     """Process all messages, returning the final book state only
     (reference: scan_through_entire_array :736-756)."""
     keys = jax.random.split(key, msgs.shape[0])
+    soa = (_side_to_soa(book_state[0]), _side_to_soa(book_state[1]),
+           _trades_to_soa(book_state[2]))
 
     def step(state, xs):
         k, m = xs
-        return apply_message(cfg, state, k, m), None
+        return _apply_message_soa(cfg, state, k, m), None
 
-    book_state, _ = jax.lax.scan(step, book_state, (keys, msgs))
-    return book_state
+    (a, b, t), _ = jax.lax.scan(step, soa, (keys, msgs))
+    return (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(t))
 
 
 def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
     """As scan_messages, saving the last ``n_steps`` intermediate book sides
     (reference: scan_through_entire_array_save_states :758-789)."""
     keys = jax.random.split(key, msgs.shape[0])
+    soa = (_side_to_soa(book_state[0]), _side_to_soa(book_state[1]),
+           _trades_to_soa(book_state[2]))
 
     def step(state, xs):
         k, m = xs
-        new = apply_message(cfg, state, k, m)
+        new = _apply_message_soa(cfg, state, k, m)
         return new, (new[0], new[1])
 
-    last, (all_asks, all_bids) = jax.lax.scan(step, book_state, (keys, msgs))
-    return (all_asks[-n_steps:], all_bids[-n_steps:], last[2])
+    (a, b, t), (asks_h, bids_h) = jax.lax.scan(step, soa, (keys, msgs))
+    asks_hist = jnp.stack([x[-n_steps:] for x in asks_h], axis=2)
+    bids_hist = jnp.stack([x[-n_steps:] for x in bids_h], axis=2)
+    return (asks_hist, bids_hist, _trades_from_soa(t))
 
 
 def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
     """As scan_messages, saving best bid/ask (price, quantity) after each of
     the last ``n_steps`` messages
     (reference: scan_through_entire_array_save_bidask :791-823)."""
-    from .queries import best_bid_ask_incl_quants
     keys = jax.random.split(key, msgs.shape[0])
+    soa = (_side_to_soa(book_state[0]), _side_to_soa(book_state[1]),
+           _trades_to_soa(book_state[2]))
 
     def step(state, xs):
         k, m = xs
-        new = apply_message(cfg, state, k, m)
-        best_ask, best_bid = best_bid_ask_incl_quants(cfg, new[0], new[1])
+        new = _apply_message_soa(cfg, state, k, m)
+        best_ask, best_bid = _best_bid_ask_quants_soa(cfg, new[0], new[1])
         return new, (best_ask, best_bid)
 
-    last, (asks_hist, bids_hist) = jax.lax.scan(step, book_state, (keys, msgs))
+    (a, b, t), (asks_hist, bids_hist) = jax.lax.scan(step, soa, (keys, msgs))
+    last = (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(t))
     return last, (asks_hist[-n_steps:], bids_hist[-n_steps:])
 
 
@@ -417,7 +469,6 @@ def get_cancel_msgs(bookside: jax.Array, agent_id, size: int, side,
     padded = jnp.concatenate(
         [bookside, jnp.zeros((1, 6), dtype=I32)], axis=0)
     match = padded[:, OrderCol.TID] == agent_id
-    # jnp.where(size=size, fill_value=-1): first `size` matching indices.
     idx = jnp.where(match, size=size, fill_value=-1)[0]
     rows = padded[idx]
     n = idx.shape[0]
@@ -450,4 +501,4 @@ def add_trade(trades: jax.Array, new_trade: jax.Array) -> jax.Array:
     (reference: add_trade :885-889 — note it scans the whole row for -1, so a
     real trade with a -1 field can be overwritten; kept for parity)."""
     idx = _first_row_with_neg1(trades)
-    return trades.at[idx, :].set(new_trade)
+    return _onehot_row_set(trades, idx, new_trade)

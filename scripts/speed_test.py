@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Throughput grid benchmark.
+
+Parity reference: gymnax_exchange/jaxen/Speed_test.py — grid over
+{agents-per-type, n_data_msg}, vmapped reset + lax.scan rollout with random
+actions, compile-first-then-time, csv output.
+"""
+import argparse
+import csv
+import itertools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from bench import bench_rollout, build_env
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--agents", type=str, default="1,1;5,5",
+                    help="semicolon-separated agent-count pairs")
+    ap.add_argument("--n-data-msg", type=str, default="100,1")
+    ap.add_argument("--out", type=str, default="speed_test_results.csv")
+    args = ap.parse_args()
+
+    agent_grid = [tuple(int(x) for x in a.split(","))
+                  for a in args.agents.split(";")]
+    msg_grid = [int(x) for x in args.n_data_msg.split(",")]
+
+    rows = []
+    for n_per_type, n_msg in itertools.product(agent_grid, msg_grid):
+        env = build_env(n_data_msg=n_msg, n_per_type=n_per_type)
+        sps, compile_time, elapsed = bench_rollout(env, args.envs, args.steps)
+        row = {
+            "agents_per_type": str(n_per_type),
+            "n_data_msg": n_msg,
+            "num_envs": args.envs,
+            "num_steps": args.steps,
+            "msgs_per_step": env.num_msgs_per_step,
+            "avg_steps_per_sec": round(sps, 1),
+            "compile_s": round(compile_time, 1),
+            "run_s": round(elapsed, 3),
+        }
+        rows.append(row)
+        print(row)
+
+    with open(args.out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

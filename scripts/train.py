@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""IPPO-RNN training CLI.
+
+Parity reference: gymnax_exchange/jaxrl/MARL/ippo_rnn_JAXMARL.py's hydra
+entrypoint (:1145-1274). Uses argparse + JSON/YAML instead of hydra/wandb
+(not available here); the same three-layer config precedence applies
+(dataclass defaults < env-config file < CLI/RL-config overrides).
+
+Usage:
+    python scripts/train.py --env-config configs/2_player_fq_fqc.json \
+        --rl-config configs/ippo_2player.yaml --num-updates 10
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--env-config", type=str, default=None,
+                    help="JSON env config (reference env_configs schema)")
+    ap.add_argument("--rl-config", type=str, default=None,
+                    help="YAML/JSON RL hyperparameter config")
+    ap.add_argument("--num-updates", type=int, default=None)
+    ap.add_argument("--num-envs", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--checkpoint-dir", type=str, default=None)
+    ap.add_argument("--log-file", type=str, default=None,
+                    help="JSONL metrics log")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="use synthetic data regardless of config")
+    ap.add_argument("--mesh", type=int, default=None,
+                    help="shard env batch over N devices")
+    args = ap.parse_args()
+
+    from jaxmarl_hft_tpu.config.io import load_config
+    from jaxmarl_hft_tpu.config.structs import (MultiAgentConfig,
+                                                WorldConfig, replace_cfg)
+    from jaxmarl_hft_tpu.envs.marl import MarlEnv
+    from jaxmarl_hft_tpu.rl.ippo import default_train_config, make_train
+
+    if args.env_config:
+        ma_cfg = load_config(args.env_config)
+    else:
+        ma_cfg = MultiAgentConfig(world_config=WorldConfig(
+            synthetic_data=True, synthetic_n_msgs=200_000,
+            ep_type="fixed_steps", episode_time=64, start_resolution=64,
+            n_data_msg_per_step=100, use_pickles_for_init=False))
+    if args.synthetic:
+        ma_cfg = MultiAgentConfig(
+            world_config=replace_cfg(ma_cfg.world_config,
+                                     synthetic_data=True,
+                                     use_pickles_for_init=False),
+            agents=ma_cfg.agents,
+            number_of_agents_per_type=ma_cfg.number_of_agents_per_type)
+
+    rl_overrides = {}
+    if args.rl_config:
+        with open(args.rl_config) as f:
+            if args.rl_config.endswith((".yaml", ".yml")):
+                import yaml
+                rl_overrides = yaml.safe_load(f)
+            else:
+                rl_overrides = json.load(f)
+    cfg = default_train_config(**rl_overrides)
+    cfg["SEED"] = args.seed
+    if args.num_envs:
+        cfg["NUM_ENVS"] = args.num_envs
+
+    print(f"devices: {jax.devices()}")
+    env = MarlEnv(jax.random.PRNGKey(cfg["SEED"]), ma_cfg)
+    print(f"env: {env.num_agents} agents, {env.num_msgs_per_step} msgs/step, "
+          f"{env.base_env.n_windows} windows")
+
+    mesh = None
+    if args.mesh:
+        from jaxmarl_hft_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.mesh)
+
+    train = make_train(cfg, env, mesh=mesh)
+
+    ckpt_mgr = None
+    if args.checkpoint_dir:
+        from jaxmarl_hft_tpu.rl.checkpoint import make_checkpoint_manager
+        ckpt_mgr = make_checkpoint_manager(args.checkpoint_dir)
+
+    log_f = open(args.log_file, "a") if args.log_file else None
+    t_start = time.time()
+
+    def log_fn(step, metrics):
+        elapsed = time.time() - t_start
+        steps_done = (step + 1) * cfg["NUM_STEPS"] * cfg["NUM_ENVS"]
+        line = {
+            "update": step,
+            "env_steps": steps_done,
+            "steps_per_sec": steps_done / elapsed,
+            "loss": [{k: float(v) for k, v in l.items()}
+                     for l in metrics["loss"]],
+            "avg_reward": [float(r) for r in metrics["avg_reward"]],
+        }
+        print(f"update {step}: loss="
+              f"{[round(l['total_loss'], 4) for l in line['loss']]} "
+              f"reward={[round(r, 3) for r in line['avg_reward']]} "
+              f"sps={line['steps_per_sec']:.0f}")
+        if log_f:
+            log_f.write(json.dumps(line) + "\n")
+            log_f.flush()
+
+    out = train(jax.random.PRNGKey(cfg["SEED"]),
+                num_updates=args.num_updates, log_fn=log_fn,
+                checkpoint_manager=ckpt_mgr)
+    elapsed = time.time() - t_start
+    total = (args.num_updates or cfg["NUM_UPDATES"]) \
+        * cfg["NUM_STEPS"] * cfg["NUM_ENVS"]
+    print(f"done: {total} env steps in {elapsed:.1f}s "
+          f"({total / elapsed:.0f} steps/s)")
+
+
+if __name__ == "__main__":
+    main()
