@@ -35,6 +35,10 @@ class LobConfig:
     dataPath: str = os.path.expanduser("~") + "/data"
     stock: str = "AMZN"
     timePeriod: str = "2024_Dec"
+    # Engine selection (not in the reference): "exact" (default) keeps the
+    # reference slot layout with the rank-plane fast matcher (bit-parity);
+    # "sorted" is the experimental compacted-sorted-side variant.
+    matching_engine: str = "exact"
 
 
 @dataclass(frozen=True)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax import vmap
 
 from ..config.structs import ExecConfig, MMConfig, MultiAgentConfig
-from ..lob import engine, queries
+from ..lob import engine, engine_sorted, queries
 from .execution import ExecutionAgent
 from .mm import MarketMakingAgent
 from .structs import (MultiAgentParams, MultiAgentState, WorldState)
@@ -185,8 +185,9 @@ class MarlEnv:
 
         # (D) one engine scan over the combined stream
         trades_reinit = engine.init_trades(wc.nTrades)
+        _, scan_bidask = engine_sorted.get_scan_fns(wc)
         (new_asks, new_bids, new_trades), (new_bestasks, new_bestbids) = \
-            engine.scan_messages_save_bidask(
+            scan_bidask(
                 wc, key, combined_msgs,
                 (ws.ask_raw_orders, ws.bid_raw_orders, trades_reinit),
                 self.num_msgs_per_step)

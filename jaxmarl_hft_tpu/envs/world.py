@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..config.structs import WorldConfig
 from ..data.lobster import LobsterLoader
 from ..data.synthetic import generate_loaded_data
-from ..lob import engine
+from ..lob import engine, engine_sorted
 from ..utils.tree import index_tree
 from .structs import LoadedEnvParams, LoadedEnvState
 
@@ -106,8 +106,9 @@ class WorldEnv:
         asks = engine.init_orderside(cfg.nOrders)
         bids = engine.init_orderside(cfg.nOrders)
         trades = engine.init_trades(cfg.nTrades)
-        asks, bids, trades = engine.scan_messages(cfg, key, init_orders,
-                                                  (asks, bids, trades))
+        scan_fn, _ = engine_sorted.get_scan_fns(cfg)
+        asks, bids, trades = scan_fn(cfg, key, init_orders,
+                                     (asks, bids, trades))
         if cfg.ep_type == "fixed_time":
             init_time = jnp.stack([
                 (window_index * cfg.start_resolution)

@@ -121,7 +121,8 @@ def _trades_from_soa(soa) -> jax.Array:
 def _priority_better_soa(p, ts, tn, crossing, opp_is_ask):
     """(n, n) bool: better[j, i] == crossing j has strictly higher priority
     than i. Lexicographic (price, time_s, time_ns, slot); lower price wins on
-    the ask side, higher on the bid side (reference :241-268)."""
+    the ask side, higher on the bid side (reference :241-268). Used only by
+    the non-hot public helpers; the scan path uses rank planes instead."""
     n = p.shape[0]
     idx_j = jax.lax.broadcasted_iota(I32, (n, n), 0)
     idx_i = jax.lax.broadcasted_iota(I32, (n, n), 1)
@@ -134,24 +135,44 @@ def _priority_better_soa(p, ts, tn, crossing, opp_is_ask):
     return (price_better | ((pj == pi) & time_better)) & crossing[:, None]
 
 
-def _match_soa(nTrades, opp, trades, qtm, price, agr_oid, time_s, time_ns,
-               agr_tid, side_sign, opp_is_ask):
+def _compute_rank(side_soa, side_is_bid):
+    """Priority rank of every slot: 0 = best. Empty slots get rank n. Rank
+    order is (price, time_s, time_ns, slot) lexicographic — identical to the
+    pairwise priority matrix, so rank_j < rank_i  <=>  better[j, i].
+    Computed once per scan (lexsort) and maintained incrementally."""
+    p, q, oid, tid, ts, tn = side_soa
+    n = p.shape[0]
+    valid = p != -1
+    big = jnp.iinfo(jnp.int32).max
+    key_p = jnp.where(valid, jnp.where(side_is_bid, -p, p), big)
+    key_ts = jnp.where(valid, ts, big)
+    key_tn = jnp.where(valid, tn, big)
+    order = jnp.lexsort((key_tn, key_ts, key_p))
+    inv = jnp.argsort(order).astype(I32)
+    return jnp.where(valid, inv, n)
+
+
+def _match_soa(nTrades, opp, opp_rank, trades, qtm, price, agr_oid, time_s,
+               time_ns, agr_tid, side_sign, opp_is_ask):
     """Match ``qtm`` at limit ``price`` against the opposing SoA side;
-    returns (new_opp, qtm_left, new_trades). Replaces the reference while-loop
-    (:284-331) with the closed-form prefix fill; trade rows land in match
-    (priority) order from the first empty trade slot, with sequential-
-    overwrite semantics on overflow."""
+    returns (new_opp, new_opp_rank, qtm_left, new_trades). Replaces the
+    reference while-loop (:284-331) with the closed-form prefix fill. The
+    rank plane reduces the pairwise priority matrix to a single comparison:
+    better[j, i] = crossing_j & (rank_j < rank_i). Because rank order is
+    price-primary, crossing orders occupy the best (lowest) ranks, fills form
+    a rank prefix [0, k), and an order's rank IS its trade-write position."""
     p, q, oid, tid, ts, tn = opp
+    n = p.shape[0]
     valid = p != -1
     crossing = valid & jnp.where(opp_is_ask, p <= price, p >= price)
 
-    better = _priority_better_soa(p, ts, tn, crossing, opp_is_ask)
+    better = crossing[:, None] & (opp_rank[:, None] < opp_rank[None, :])
     S = jnp.sum(jnp.where(better, q[:, None], 0), axis=0).astype(I32)
     fill = jnp.where(crossing, jnp.clip(qtm - S, 0, q), 0).astype(I32)
     qtm_left = (qtm - jnp.sum(fill)).astype(I32)
 
     filled = fill > 0
-    rank = jnp.sum(better & filled[:, None], axis=0).astype(I32)
+    rank = opp_rank  # fills are the rank prefix; rank == trade order
 
     # Reference empty-slot test: trades[:, 4] == -1 (time_s column — it
     # indexes the *trades* array with LOBMSGFEAT.OID=4, :205).
@@ -163,9 +184,9 @@ def _match_soa(nTrades, opp, trades, qtm, price, agr_oid, time_s, time_ns,
     write = filled & ((slot < nTrades - 1) | (rank == max_rank_overflow))
     slot = jnp.clip(slot, 0, nTrades - 1)
 
-    # Dense write: M[t, i] = write_i & (slot_i == t). Each slot has at most
-    # one writer, so a masked sum reconstructs the written row.
-    t_iota = jax.lax.broadcasted_iota(I32, (nTrades, slot.shape[0]), 0)
+    # Dense write: M[t, i] = write_i & (slot_i == t); at most one writer per
+    # slot, so masked sums reconstruct the written row.
+    t_iota = jax.lax.broadcasted_iota(I32, (nTrades, n), 0)
     M = write[None, :] & (slot[None, :] == t_iota)
     hit = jnp.any(M, axis=1)
 
@@ -173,38 +194,72 @@ def _match_soa(nTrades, opp, trades, qtm, price, agr_oid, time_s, time_ns,
         v = jnp.sum(jnp.where(M, vals[None, :], 0), axis=1).astype(I32)
         return jnp.where(hit, v, cur)
 
-    b = lambda x: jnp.broadcast_to(jnp.asarray(x, I32), p.shape)
+    def write_const(cur, val):
+        return jnp.where(hit, jnp.asarray(val, I32), cur)
+
     new_trades = (
         write_field(trades[0], p),
         write_field(trades[1], (-side_sign * fill).astype(I32)),
         write_field(trades[2], oid),
-        write_field(trades[3], b(agr_oid)),
-        write_field(trades[4], b(time_s)),
-        write_field(trades[5], b(time_ns)),
+        write_const(trades[3], agr_oid),
+        write_const(trades[4], time_s),
+        write_const(trades[5], time_ns),
         write_field(trades[6], tid),
-        write_field(trades[7], b(agr_tid)),
+        write_const(trades[7], agr_tid),
     )
 
-    # book update (sweep fully-filled rows to -1)
+    # book + rank update (fully-filled rows are the rank prefix [0, d))
     new_q = (q - fill).astype(I32)
     dead = new_q <= 0
+    d = jnp.sum(dead & valid).astype(I32)
     neg1 = jnp.full_like(p, -1)
     new_opp = tuple(jnp.where(dead, neg1, x) for x in
                     (p, new_q, oid, tid, ts, tn))
-    return new_opp, qtm_left, new_trades
+    survivor = valid & ~dead
+    new_rank = jnp.where(survivor, opp_rank - d, n).astype(I32)
+    return new_opp, new_rank, qtm_left, new_trades
 
 
-def _add_order_soa(own, price, quant, oid_v, tid_v, ts_v, tn_v):
+def _add_order_soa(own, own_rank, own_is_bid, price, quant, oid_v, tid_v,
+                   ts_v, tn_v):
     """Insert at the first row containing any -1 (reference add_order :62-83
-    scans the whole (n,6) row for -1), then sweep q <= 0 rows."""
+    scans the whole (n,6) row for -1), sweep q <= 0 rows, and maintain the
+    priority-rank plane. Handles the full-book overwrite quirk (no empty row
+    -> .at[-1] clobbers the last slot's order)."""
     p, q, oid, tid, ts, tn = own
+    n = p.shape[0]
     any_neg1 = ((p == -1) | (q == -1) | (oid == -1) | (tid == -1)
                 | (ts == -1) | (tn == -1))
     idx = _first_true(any_neg1)
-    n = p.shape[0]
     idx_eff = jnp.where(idx < 0, n + idx, idx)
-    sel = jax.lax.broadcasted_iota(I32, (n,), 0) == idx_eff
+    iota = jax.lax.broadcasted_iota(I32, (n,), 0)
+    sel = iota == idx_eff
     quant = jnp.maximum(0, quant)
+
+    # rank bookkeeping 1: the written slot may clobber a valid order
+    was_valid_e = jnp.any(sel & (p != -1))
+    old_rank_e = jnp.sum(jnp.where(sel, own_rank, 0))
+    others_valid = (p != -1) & ~sel
+    rank_rm = jnp.where(
+        sel, n,
+        jnp.where(others_valid & was_valid_e & (own_rank > old_rank_e),
+                  own_rank - 1, own_rank))
+
+    # rank bookkeeping 2: insertion position of the new order. Tie-break on
+    # equal (price, ts, tns) is the raw slot index, matching the reference's
+    # jnp.where(size=1) first-index semantics.
+    alive = quant > 0
+    price_better = jnp.where(own_is_bid, p > price, p < price)
+    time_better_or_tie = (ts < ts_v) | ((ts == ts_v) & (
+        (tn < tn_v) | ((tn == tn_v) & (iota < idx_eff))))
+    before = others_valid & (price_better
+                             | ((p == price) & time_better_or_tie))
+    pos = jnp.sum(before).astype(I32)
+    rank_ins = jnp.where(others_valid & (rank_rm >= pos), rank_rm + 1,
+                         rank_rm)
+    rank_ins = jnp.where(sel, pos, rank_ins)
+    new_rank = jnp.where(alive, rank_ins, rank_rm).astype(I32)
+
     p2 = jnp.where(sel, price, p).astype(I32)
     q2 = jnp.where(sel, quant, q).astype(I32)
     oid2 = jnp.where(sel, oid_v, oid).astype(I32)
@@ -213,20 +268,27 @@ def _add_order_soa(own, price, quant, oid_v, tid_v, ts_v, tn_v):
     tn2 = jnp.where(sel, tn_v, tn).astype(I32)
     dead = q2 <= 0
     neg1 = jnp.full_like(p, -1)
-    return tuple(jnp.where(dead, neg1, x)
-                 for x in (p2, q2, oid2, tid2, ts2, tn2))
+    planes = tuple(jnp.where(dead, neg1, x)
+                   for x in (p2, q2, oid2, tid2, ts2, tn2))
+    new_rank = jnp.where(dead, n, new_rank)
+    return planes, new_rank
 
 
-def _evict_worst_if_full_soa(own, own_is_bid):
+def _evict_worst_if_full_soa(own, own_rank, own_is_bid):
     """If the side is full, clear every order at the worst price
     (reference: check_book_fill blocks :395-408, :484-497). Runs before every
-    limit-order add, even zero-quantity ones, matching the reference."""
+    limit-order add, even zero-quantity ones, matching the reference.
+    Evicted orders hold the worst (densely trailing) ranks, so survivor
+    ranks are unchanged."""
     p = own[0]
+    n = p.shape[0]
     full = jnp.all(p >= 0)
     worst = jnp.where(own_is_bid, jnp.min(p), jnp.max(p))
     clear = full & (p == worst)
     neg1 = jnp.full_like(p, -1)
-    return tuple(jnp.where(clear, neg1, x) for x in own)
+    planes = tuple(jnp.where(clear, neg1, x) for x in own)
+    new_rank = jnp.where(clear, n, own_rank)
+    return planes, new_rank
 
 
 def _cancel_idx_soa(cfg, key, own, price, quant, msg_oid):
@@ -256,18 +318,32 @@ def _cancel_idx_soa(cfg, key, own, price, quant, msg_oid):
     return idx
 
 
-def _cancel_soa(cfg, key, own, price, quant, msg_oid):
+def _cancel_soa(cfg, key, own, own_rank, price, quant, msg_oid):
     """Subtract quantity at the matched slot; an unmatched cancel hits the
-    last row (.at[-1] reference quirk), then sweep q <= 0."""
+    last row (.at[-1] reference quirk), then sweep q <= 0. Rank plane is
+    compacted if the row is removed."""
     p, q, oid, tid, ts, tn = own
     idx = _cancel_idx_soa(cfg, key, own, price, quant, msg_oid)
     n = p.shape[0]
     idx_eff = jnp.where(idx < 0, n + idx, idx)
     sel = jax.lax.broadcasted_iota(I32, (n,), 0) == idx_eff
     q2 = jnp.where(sel, q - quant, q).astype(I32)
+
+    was_valid_e = jnp.any(sel & (p != -1))
+    removed = was_valid_e & jnp.any(sel & (q2 <= 0))
+    r_e = jnp.sum(jnp.where(sel, own_rank, 0))
+    others_valid = (p != -1) & ~sel
+    new_rank = jnp.where(
+        sel & removed, n,
+        jnp.where(others_valid & removed & (own_rank > r_e), own_rank - 1,
+                  own_rank)).astype(I32)
+
     dead = q2 <= 0
     neg1 = jnp.full_like(p, -1)
-    return tuple(jnp.where(dead, neg1, x) for x in (p, q2, oid, tid, ts, tn))
+    planes = tuple(jnp.where(dead, neg1, x)
+                   for x in (p, q2, oid, tid, ts, tn))
+    new_rank = jnp.where(dead, n, new_rank)
+    return planes, new_rank
 
 
 # --------------------------------------------------------------------------- #
@@ -285,11 +361,12 @@ def _branch_index(t, s_eff):
 
 
 def _apply_message_soa(cfg, state, key, msg):
-    """Process one (8,) message against the SoA book state. Equivalent to the
-    reference's lax.switch over {ask_lim, bid_lim, ask_cancel, bid_cancel,
-    noop} (:555-637) but branchless: every path is computed on masked data
-    and merged with selects — a single matcher invocation per message."""
-    asks, bids, trades = state
+    """Process one (8,) message against the SoA book state (+ rank planes).
+    Equivalent to the reference's lax.switch over {ask_lim, bid_lim,
+    ask_cancel, bid_cancel, noop} (:555-637) but branchless: every path is
+    computed on masked data and merged with selects — a single matcher
+    invocation per message."""
+    asks, bids, trades, rank_a, rank_b = state
     t = msg[MsgCol.TYPE]
     s_eff = jnp.where(t == 4, -msg[MsgCol.SIDE], msg[MsgCol.SIDE])
     idx = _branch_index(t, s_eff)
@@ -303,6 +380,8 @@ def _apply_message_soa(cfg, state, key, msg):
                 for a_, b_ in zip(asks, bids))
     opp = tuple(jnp.where(active_is_bid, a_, b_)
                 for a_, b_ in zip(asks, bids))
+    own_rank = jnp.where(active_is_bid, rank_b, rank_a)
+    opp_rank = jnp.where(active_is_bid, rank_a, rank_b)
     # For limits: own side receives the remainder, opp side is matched.
     # opp is the ask side exactly when the incoming order is a bid.
     opp_is_ask = active_is_bid
@@ -318,40 +397,49 @@ def _apply_message_soa(cfg, state, key, msg):
         match_price = jnp.where(idx == 0, 0, price)
 
     qtm = jnp.where(is_lim, quant, 0)
-    opp_matched, qtm_left, trades_matched = _match_soa(
-        cfg.nTrades, opp, trades, qtm, match_price, msg[MsgCol.OID],
-        msg[MsgCol.TIME_S], msg[MsgCol.TIME_NS], msg[MsgCol.TID],
-        side_sign=s_eff, opp_is_ask=opp_is_ask)
+    opp_matched, opp_rank_matched, qtm_left, trades_matched = _match_soa(
+        cfg.nTrades, opp, opp_rank, trades, qtm, match_price,
+        msg[MsgCol.OID], msg[MsgCol.TIME_S], msg[MsgCol.TIME_NS],
+        msg[MsgCol.TID], side_sign=s_eff, opp_is_ask=opp_is_ask)
 
-    own_for_add = own
+    own_for_add, own_rank_for_add = own, own_rank
     if cfg.check_book_fill:
-        own_for_add = _evict_worst_if_full_soa(own, active_is_bid)
+        own_for_add, own_rank_for_add = _evict_worst_if_full_soa(
+            own, own_rank, active_is_bid)
 
     add_price = match_price
     if cfg.type_4_interpretation == cst.Type4.MKT:
         add_price = jnp.where(idx == 1, cfg.maxint, match_price)
 
-    own_added = _add_order_soa(own_for_add, add_price, qtm_left,
-                               msg[MsgCol.OID], msg[MsgCol.TID],
-                               msg[MsgCol.TIME_S], msg[MsgCol.TIME_NS])
+    own_added, own_rank_added = _add_order_soa(
+        own_for_add, own_rank_for_add, active_is_bid, add_price, qtm_left,
+        msg[MsgCol.OID], msg[MsgCol.TID], msg[MsgCol.TIME_S],
+        msg[MsgCol.TIME_NS])
     if cfg.type_4_interpretation in (cst.Type4.IOC, cst.Type4.MKT):
         # type-4 remainder is not added; the evicted-but-not-added book is
         # kept (reference :418)
         suppress = t == 4
         own_after_lim = tuple(jnp.where(suppress, a_, b_)
                               for a_, b_ in zip(own_for_add, own_added))
+        own_rank_after_lim = jnp.where(suppress, own_rank_for_add,
+                                       own_rank_added)
     else:
         own_after_lim = own_added
+        own_rank_after_lim = own_rank_added
 
     # --- cancel path ------------------------------------------------------
-    own_cancelled = _cancel_soa(cfg, key, own, price, quant, msg[MsgCol.OID])
+    own_cancelled, own_rank_cancelled = _cancel_soa(
+        cfg, key, own, own_rank, price, quant, msg[MsgCol.OID])
 
     # --- merge ------------------------------------------------------------
     new_own = tuple(
         jnp.where(is_cancel, c_, jnp.where(is_lim, l_, o_))
         for c_, l_, o_ in zip(own_cancelled, own_after_lim, own))
+    new_own_rank = jnp.where(is_cancel, own_rank_cancelled,
+                             jnp.where(is_lim, own_rank_after_lim, own_rank))
     new_opp = tuple(jnp.where(is_lim, m_, o_)
                     for m_, o_ in zip(opp_matched, opp))
+    new_opp_rank = jnp.where(is_lim, opp_rank_matched, opp_rank)
     new_trades = tuple(jnp.where(is_lim, m_, t_)
                        for m_, t_ in zip(trades_matched, trades))
 
@@ -359,7 +447,9 @@ def _apply_message_soa(cfg, state, key, msg):
                      for opp_, own_ in zip(new_opp, new_own))
     new_bids = tuple(jnp.where(active_is_bid, own_, opp_)
                      for opp_, own_ in zip(new_opp, new_own))
-    return (new_asks, new_bids, new_trades)
+    new_rank_a = jnp.where(active_is_bid, new_opp_rank, new_own_rank)
+    new_rank_b = jnp.where(active_is_bid, new_own_rank, new_opp_rank)
+    return (new_asks, new_bids, new_trades, new_rank_a, new_rank_b)
 
 
 def _best_bid_ask_quants_soa(cfg, asks, bids):
@@ -383,25 +473,39 @@ def add_order(side: jax.Array, price, quant, oid, tid, time_s, time_ns
               ) -> jax.Array:
     """Insert an order into the first empty slot (reference: add_order
     :62-83)."""
-    return _side_from_soa(_add_order_soa(
-        _side_to_soa(side), price, quant, oid, tid, time_s, time_ns))
+    idx = _first_row_with_neg1(side)
+    row = jnp.stack([jnp.asarray(price, I32),
+                     jnp.maximum(0, jnp.asarray(quant, I32)),
+                     jnp.asarray(oid, I32), jnp.asarray(tid, I32),
+                     jnp.asarray(time_s, I32), jnp.asarray(time_ns, I32)])
+    side = _onehot_row_set(side, idx, row)
+    return _remove_zero_neg_quant(side)
 
 
 def cancel_order(cfg, key, side: jax.Array, msg: jax.Array) -> jax.Array:
     """Remove quantity by order id with init-order / random fallbacks
     (reference: cancel_order :93-117)."""
-    return _side_from_soa(_cancel_soa(
-        cfg, key, _side_to_soa(side), msg[MsgCol.PRICE], msg[MsgCol.QUANT],
-        msg[MsgCol.OID]))
+    soa = _side_to_soa(side)
+    rank = _compute_rank(soa, side_is_bid=True)  # rank unused for output
+    planes, _ = _cancel_soa(cfg, key, soa, rank, msg[MsgCol.PRICE],
+                            msg[MsgCol.QUANT], msg[MsgCol.OID])
+    return _side_from_soa(planes)
+
+
+def _init_soa_state(book_state):
+    asks = _side_to_soa(book_state[0])
+    bids = _side_to_soa(book_state[1])
+    trades = _trades_to_soa(book_state[2])
+    rank_a = _compute_rank(asks, side_is_bid=False)
+    rank_b = _compute_rank(bids, side_is_bid=True)
+    return (asks, bids, trades, rank_a, rank_b)
 
 
 def apply_message(cfg, book_state, key, msg):
     """Process a single (8,) message through a row-major book state
     (reference: cond_type_side :555-637)."""
-    askside, bidside, trades = book_state
-    soa = (_side_to_soa(askside), _side_to_soa(bidside),
-           _trades_to_soa(trades))
-    a, b, t = _apply_message_soa(cfg, soa, key, msg)
+    a, b, t, _, _ = _apply_message_soa(cfg, _init_soa_state(book_state),
+                                       key, msg)
     return (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(t))
 
 
@@ -409,14 +513,13 @@ def scan_messages(cfg, key, msgs, book_state):
     """Process all messages, returning the final book state only
     (reference: scan_through_entire_array :736-756)."""
     keys = jax.random.split(key, msgs.shape[0])
-    soa = (_side_to_soa(book_state[0]), _side_to_soa(book_state[1]),
-           _trades_to_soa(book_state[2]))
+    soa = _init_soa_state(book_state)
 
     def step(state, xs):
         k, m = xs
         return _apply_message_soa(cfg, state, k, m), None
 
-    (a, b, t), _ = jax.lax.scan(step, soa, (keys, msgs))
+    (a, b, t, _, _), _ = jax.lax.scan(step, soa, (keys, msgs))
     return (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(t))
 
 
@@ -424,15 +527,14 @@ def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
     """As scan_messages, saving the last ``n_steps`` intermediate book sides
     (reference: scan_through_entire_array_save_states :758-789)."""
     keys = jax.random.split(key, msgs.shape[0])
-    soa = (_side_to_soa(book_state[0]), _side_to_soa(book_state[1]),
-           _trades_to_soa(book_state[2]))
+    soa = _init_soa_state(book_state)
 
     def step(state, xs):
         k, m = xs
         new = _apply_message_soa(cfg, state, k, m)
         return new, (new[0], new[1])
 
-    (a, b, t), (asks_h, bids_h) = jax.lax.scan(step, soa, (keys, msgs))
+    (a, b, t, _, _), (asks_h, bids_h) = jax.lax.scan(step, soa, (keys, msgs))
     asks_hist = jnp.stack([x[-n_steps:] for x in asks_h], axis=2)
     bids_hist = jnp.stack([x[-n_steps:] for x in bids_h], axis=2)
     return (asks_hist, bids_hist, _trades_from_soa(t))
@@ -443,8 +545,7 @@ def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
     the last ``n_steps`` messages
     (reference: scan_through_entire_array_save_bidask :791-823)."""
     keys = jax.random.split(key, msgs.shape[0])
-    soa = (_side_to_soa(book_state[0]), _side_to_soa(book_state[1]),
-           _trades_to_soa(book_state[2]))
+    soa = _init_soa_state(book_state)
 
     def step(state, xs):
         k, m = xs
@@ -452,7 +553,8 @@ def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
         best_ask, best_bid = _best_bid_ask_quants_soa(cfg, new[0], new[1])
         return new, (best_ask, best_bid)
 
-    (a, b, t), (asks_hist, bids_hist) = jax.lax.scan(step, soa, (keys, msgs))
+    (a, b, t, _, _), (asks_hist, bids_hist) = jax.lax.scan(step, soa,
+                                                           (keys, msgs))
     last = (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(t))
     return last, (asks_hist[-n_steps:], bids_hist[-n_steps:])
 
