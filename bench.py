@@ -89,8 +89,8 @@ def bench_rollout(env, n_envs, n_steps, seed=0):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--envs", type=int, default=1024)
-    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--envs", type=int, default=2048)
+    ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--n-data-msg", type=int, default=100)
     args = ap.parse_args()
 
