@@ -26,7 +26,8 @@ def build_env(n_data_msg=100, n_per_type=(1, 1)):
     world = WorldConfig(
         synthetic_data=True, synthetic_n_msgs=400_000, ep_type="fixed_steps",
         episode_time=64, start_resolution=64,
-        n_data_msg_per_step=n_data_msg, use_pickles_for_init=False)
+        n_data_msg_per_step=n_data_msg, use_pickles_for_init=False,
+        trade_capture_cap=16)
     agents = (
         ("MarketMaking", MMConfig(action_space="fixed_quants",
                                   observation_space="basic",

@@ -39,6 +39,12 @@ class LobConfig:
     # reference slot layout with the rank-plane fast matcher (bit-parity);
     # "sorted" is the experimental compacted-sorted-side variant.
     matching_engine: str = "exact"
+    # Max fills recorded per single message (0 = nTrades, fully exact). The
+    # trade buffer itself still holds nTrades rows; capping only bounds how
+    # many standing orders a *single* message can log fills against, which
+    # shrinks the per-message trade-write matrix from (nTrades, nOrders) to
+    # (cap, nOrders). Realistic flow rarely exceeds a handful.
+    trade_capture_cap: int = 0
 
 
 @dataclass(frozen=True)

@@ -309,13 +309,14 @@ class MarlEnv:
     @staticmethod
     def _ffill_best_prices(prices_quants, last_valid_price):
         """Forward-fill -1 prices and zero their quantities
-        (reference: marl_env.py:723-749)."""
+        (reference: marl_env.py:723-749). The reference forward-fills with a
+        sequential lax.scan over the message axis; here it is a log-depth
+        associative scan ("last valid value" is associative), which
+        vectorises instead of serialising the 112-element chain."""
         def ffill(arr, inval=-1):
-            def f(prev, x):
-                new = jnp.where(x != inval, x, prev)
-                return new, new
-            _, out = jax.lax.scan(f, inval, arr)
-            return out
+            def op(a, b):
+                return jnp.where(b == inval, a, b)
+            return jax.lax.associative_scan(op, arr)
 
         prices_quants = prices_quants.at[0, 0:2].set(
             jnp.where(prices_quants[0, 0] == -1,

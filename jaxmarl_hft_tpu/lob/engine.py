@@ -152,15 +152,21 @@ def _compute_rank(side_soa, side_is_bid):
     return jnp.where(valid, inv, n)
 
 
-def _match_soa(nTrades, opp, opp_rank, trades, qtm, price, agr_oid, time_s,
-               time_ns, agr_tid, side_sign, opp_is_ask):
+def _match_soa(cap, opp, opp_rank, qtm, price, opp_is_ask):
     """Match ``qtm`` at limit ``price`` against the opposing SoA side;
-    returns (new_opp, new_opp_rank, qtm_left, new_trades). Replaces the
-    reference while-loop (:284-331) with the closed-form prefix fill. The
-    rank plane reduces the pairwise priority matrix to a single comparison:
-    better[j, i] = crossing_j & (rank_j < rank_i). Because rank order is
-    price-primary, crossing orders occupy the best (lowest) ranks, fills form
-    a rank prefix [0, k), and an order's rank IS its trade-write position."""
+    returns (new_opp, new_opp_rank, qtm_left, compressed_fills, k).
+
+    Replaces the reference while-loop (:284-331) with the closed-form prefix
+    fill. The rank plane reduces the pairwise priority matrix to a single
+    comparison: better[j, i] = crossing_j & (rank_j < rank_i). Because rank
+    order is price-primary, crossing orders occupy the best (lowest) ranks,
+    fills form a rank prefix [0, k), and an order's rank IS its fill order.
+
+    Trade rows are not written here: the first ``cap`` fills are extracted in
+    fill order as compressed (cap,)-vectors (price, quantity, passive oid,
+    passive tid) and assembled into the trade buffer once per scan by
+    ``_finalize_trades`` — turning the per-message (nTrades, n) write matrix
+    into a (cap, n) one."""
     p, q, oid, tid, ts, tn = opp
     n = p.shape[0]
     valid = p != -1
@@ -172,41 +178,25 @@ def _match_soa(nTrades, opp, opp_rank, trades, qtm, price, agr_oid, time_s,
     qtm_left = (qtm - jnp.sum(fill)).astype(I32)
 
     filled = fill > 0
-    rank = opp_rank  # fills are the rank prefix; rank == trade order
+    k = jnp.sum(filled).astype(I32)
 
-    # Reference empty-slot test: trades[:, 4] == -1 (time_s column — it
-    # indexes the *trades* array with LOBMSGFEAT.OID=4, :205).
-    first_empty = _first_true(trades[4] == -1)
-    base = jnp.where(first_empty >= 0, first_empty, nTrades - 1)
-    slot = base + rank
-    overflow = filled & (slot >= nTrades - 1)
-    max_rank_overflow = jnp.max(jnp.where(overflow, rank, -1))
-    write = filled & ((slot < nTrades - 1) | (rank == max_rank_overflow))
-    slot = jnp.clip(slot, 0, nTrades - 1)
+    # compressed fills: fill order c < cap  <=>  rank == c
+    c_iota = jax.lax.broadcasted_iota(I32, (cap, n), 0)
+    MC = filled[None, :] & (opp_rank[None, :] == c_iota)
 
-    # Dense write: M[t, i] = write_i & (slot_i == t); at most one writer per
-    # slot, so masked sums reconstruct the written row.
-    t_iota = jax.lax.broadcasted_iota(I32, (nTrades, n), 0)
-    M = write[None, :] & (slot[None, :] == t_iota)
-    hit = jnp.any(M, axis=1)
+    def cfield(vals):
+        return jnp.sum(jnp.where(MC, vals[None, :], 0), axis=1).astype(I32)
 
-    def write_field(cur, vals):
-        v = jnp.sum(jnp.where(M, vals[None, :], 0), axis=1).astype(I32)
-        return jnp.where(hit, v, cur)
+    fills = (cfield(p), cfield(fill), cfield(oid), cfield(tid))
 
-    def write_const(cur, val):
-        return jnp.where(hit, jnp.asarray(val, I32), cur)
+    # the message's LAST fill (rank k-1), recorded separately so the
+    # buffer-overflow "last write wins" slot is exact even when k > cap
+    last_sel = filled & (opp_rank == k - 1)
 
-    new_trades = (
-        write_field(trades[0], p),
-        write_field(trades[1], (-side_sign * fill).astype(I32)),
-        write_field(trades[2], oid),
-        write_const(trades[3], agr_oid),
-        write_const(trades[4], time_s),
-        write_const(trades[5], time_ns),
-        write_field(trades[6], tid),
-        write_const(trades[7], agr_tid),
-    )
+    def lfield(vals):
+        return jnp.sum(jnp.where(last_sel, vals, 0)).astype(I32)
+
+    last_fill = (lfield(p), lfield(fill), lfield(oid), lfield(tid))
 
     # book + rank update (fully-filled rows are the rank prefix [0, d))
     new_q = (q - fill).astype(I32)
@@ -217,7 +207,66 @@ def _match_soa(nTrades, opp, opp_rank, trades, qtm, price, agr_oid, time_s,
                     (p, new_q, oid, tid, ts, tn))
     survivor = valid & ~dead
     new_rank = jnp.where(survivor, opp_rank - d, n).astype(I32)
-    return new_opp, new_rank, qtm_left, new_trades
+    return new_opp, new_rank, qtm_left, fills, last_fill, k
+
+
+def _finalize_trades(cfg, init_trades, recs):
+    """Assemble the trade buffer from per-message compressed fill records,
+    replicating the reference's sequential append semantics: rows land from
+    the first empty slot onward in global fill order; once the buffer is
+    full, later fills overwrite the last slot (last one wins)
+    (reference: match_order :205-217 empty-slot search + .at[-1] wrap).
+
+    recs: (P, Q, POID, PTID) each (M, cap); LP/LQ/LOID/LTID per-message
+    last-fill scalars; K (M,); AOID/TS/TN/ATID (M,) scalars. Exact whenever
+    no single message fills more than ``cap`` orders (the overflow slot is
+    always exact via the last-fill record) and the initial buffer is
+    prefix-packed (always true in the env, which reinitialises trades each
+    step)."""
+    P, Q, POID, PTID, LP, LQ, LOID, LTID, K, AOID, TS, TN, ATID = recs
+    nT = cfg.nTrades
+    M, cap = P.shape
+
+    first_empty = _first_true(init_trades[4] == -1)
+    base0 = jnp.where(first_empty >= 0, first_empty, nT - 1)
+    cum = base0 + jnp.cumsum(K) - K                       # (M,) start slots
+
+    t = jax.lax.broadcasted_iota(I32, (nT,), 0)
+    W = (cum[None, :] <= t[:, None]) & (t[:, None] < (cum + K)[None, :])
+    valid_t = jnp.any(W, axis=1)
+    cum_at = jnp.sum(jnp.where(W, cum[None, :], 0), axis=1)
+    r = t - cum_at                                        # fill idx in msg
+    recorded = r < cap
+    R = r[:, None] == jax.lax.broadcasted_iota(I32, (nT, cap), 1)
+
+    def per_order(F):
+        G = jnp.sum(jnp.where(W[:, :, None], F[None, :, :], 0), axis=1)
+        return jnp.sum(jnp.where(R, G, 0), axis=1).astype(I32)
+
+    def per_msg(Svec):
+        return jnp.sum(jnp.where(W, Svec[None, :], 0), axis=1).astype(I32)
+
+    hit = valid_t & recorded & (t < nT - 1)
+    vals = (per_order(P), per_order(Q), per_order(POID), per_msg(AOID),
+            per_msg(TS), per_msg(TN), per_order(PTID), per_msg(ATID))
+    out = tuple(jnp.where(hit, v, cur)
+                for v, cur in zip(vals, init_trades))
+
+    # overflow / boundary: slot nT-1 holds the globally-last fill
+    totK = jnp.sum(K)
+    write_last = (totK > 0) & (base0 + totK - 1 >= nT - 1)
+    m_iota = jax.lax.broadcasted_iota(I32, (M,), 0)
+    m_l = jnp.max(jnp.where(K > 0, m_iota, -1))
+    sel_m = m_iota == m_l
+
+    def last_msg(Svec):
+        return jnp.sum(jnp.where(sel_m, Svec, 0)).astype(I32)
+
+    last_vals = (last_msg(LP), last_msg(LQ), last_msg(LOID), last_msg(AOID),
+                 last_msg(TS), last_msg(TN), last_msg(LTID), last_msg(ATID))
+    out = tuple(jnp.where(write_last & (t == nT - 1), lv, o)
+                for lv, o in zip(last_vals, out))
+    return out
 
 
 def _add_order_soa(own, own_rank, own_is_bid, price, quant, oid_v, tid_v,
@@ -360,13 +409,19 @@ def _branch_index(t, s_eff):
             + ((s_eff == 0) & (t == 0)) * 4)
 
 
+def _trade_cap(cfg):
+    cap = getattr(cfg, "trade_capture_cap", 0)
+    return cap if cap and cap > 0 else cfg.nTrades
+
+
 def _apply_message_soa(cfg, state, key, msg):
     """Process one (8,) message against the SoA book state (+ rank planes).
     Equivalent to the reference's lax.switch over {ask_lim, bid_lim,
     ask_cancel, bid_cancel, noop} (:555-637) but branchless: every path is
     computed on masked data and merged with selects — a single matcher
-    invocation per message."""
-    asks, bids, trades, rank_a, rank_b = state
+    invocation per message. Returns (new_state, fill_record); trade-buffer
+    assembly happens once per scan in _finalize_trades."""
+    asks, bids, rank_a, rank_b = state
     t = msg[MsgCol.TYPE]
     s_eff = jnp.where(t == 4, -msg[MsgCol.SIDE], msg[MsgCol.SIDE])
     idx = _branch_index(t, s_eff)
@@ -397,10 +452,13 @@ def _apply_message_soa(cfg, state, key, msg):
         match_price = jnp.where(idx == 0, 0, price)
 
     qtm = jnp.where(is_lim, quant, 0)
-    opp_matched, opp_rank_matched, qtm_left, trades_matched = _match_soa(
-        cfg.nTrades, opp, opp_rank, trades, qtm, match_price,
-        msg[MsgCol.OID], msg[MsgCol.TIME_S], msg[MsgCol.TIME_NS],
-        msg[MsgCol.TID], side_sign=s_eff, opp_is_ask=opp_is_ask)
+    opp_matched, opp_rank_matched, qtm_left, fills, last_fill, k = \
+        _match_soa(_trade_cap(cfg), opp, opp_rank, qtm, match_price,
+                   opp_is_ask=opp_is_ask)
+    fill_rec = (fills[0], (-s_eff * fills[1]).astype(I32), fills[2],
+                fills[3], last_fill[0], (-s_eff * last_fill[1]).astype(I32),
+                last_fill[2], last_fill[3], k, msg[MsgCol.OID],
+                msg[MsgCol.TIME_S], msg[MsgCol.TIME_NS], msg[MsgCol.TID])
 
     own_for_add, own_rank_for_add = own, own_rank
     if cfg.check_book_fill:
@@ -440,8 +498,6 @@ def _apply_message_soa(cfg, state, key, msg):
     new_opp = tuple(jnp.where(is_lim, m_, o_)
                     for m_, o_ in zip(opp_matched, opp))
     new_opp_rank = jnp.where(is_lim, opp_rank_matched, opp_rank)
-    new_trades = tuple(jnp.where(is_lim, m_, t_)
-                       for m_, t_ in zip(trades_matched, trades))
 
     new_asks = tuple(jnp.where(active_is_bid, opp_, own_)
                      for opp_, own_ in zip(new_opp, new_own))
@@ -449,7 +505,7 @@ def _apply_message_soa(cfg, state, key, msg):
                      for opp_, own_ in zip(new_opp, new_own))
     new_rank_a = jnp.where(active_is_bid, new_opp_rank, new_own_rank)
     new_rank_b = jnp.where(active_is_bid, new_own_rank, new_opp_rank)
-    return (new_asks, new_bids, new_trades, new_rank_a, new_rank_b)
+    return (new_asks, new_bids, new_rank_a, new_rank_b), fill_rec
 
 
 def _best_bid_ask_quants_soa(cfg, asks, bids):
@@ -495,18 +551,20 @@ def cancel_order(cfg, key, side: jax.Array, msg: jax.Array) -> jax.Array:
 def _init_soa_state(book_state):
     asks = _side_to_soa(book_state[0])
     bids = _side_to_soa(book_state[1])
-    trades = _trades_to_soa(book_state[2])
     rank_a = _compute_rank(asks, side_is_bid=False)
     rank_b = _compute_rank(bids, side_is_bid=True)
-    return (asks, bids, trades, rank_a, rank_b)
+    return (asks, bids, rank_a, rank_b)
 
 
 def apply_message(cfg, book_state, key, msg):
     """Process a single (8,) message through a row-major book state
     (reference: cond_type_side :555-637)."""
-    a, b, t, _, _ = _apply_message_soa(cfg, _init_soa_state(book_state),
-                                       key, msg)
-    return (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(t))
+    state, rec = _apply_message_soa(cfg, _init_soa_state(book_state), key,
+                                    msg)
+    recs = jax.tree.map(lambda x: x[None], rec)
+    trades = _finalize_trades(cfg, _trades_to_soa(book_state[2]), recs)
+    a, b = state[0], state[1]
+    return (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(trades))
 
 
 def scan_messages(cfg, key, msgs, book_state):
@@ -517,10 +575,11 @@ def scan_messages(cfg, key, msgs, book_state):
 
     def step(state, xs):
         k, m = xs
-        return _apply_message_soa(cfg, state, k, m), None
+        return _apply_message_soa(cfg, state, k, m)
 
-    (a, b, t, _, _), _ = jax.lax.scan(step, soa, (keys, msgs))
-    return (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(t))
+    (a, b, _, _), recs = jax.lax.scan(step, soa, (keys, msgs))
+    trades = _finalize_trades(cfg, _trades_to_soa(book_state[2]), recs)
+    return (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(trades))
 
 
 def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
@@ -531,13 +590,15 @@ def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
 
     def step(state, xs):
         k, m = xs
-        new = _apply_message_soa(cfg, state, k, m)
-        return new, (new[0], new[1])
+        new, rec = _apply_message_soa(cfg, state, k, m)
+        return new, (rec, new[0], new[1])
 
-    (a, b, t, _, _), (asks_h, bids_h) = jax.lax.scan(step, soa, (keys, msgs))
+    (a, b, _, _), (recs, asks_h, bids_h) = jax.lax.scan(step, soa,
+                                                        (keys, msgs))
+    trades = _finalize_trades(cfg, _trades_to_soa(book_state[2]), recs)
     asks_hist = jnp.stack([x[-n_steps:] for x in asks_h], axis=2)
     bids_hist = jnp.stack([x[-n_steps:] for x in bids_h], axis=2)
-    return (asks_hist, bids_hist, _trades_from_soa(t))
+    return (asks_hist, bids_hist, _trades_from_soa(trades))
 
 
 def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
@@ -549,13 +610,14 @@ def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
 
     def step(state, xs):
         k, m = xs
-        new = _apply_message_soa(cfg, state, k, m)
+        new, rec = _apply_message_soa(cfg, state, k, m)
         best_ask, best_bid = _best_bid_ask_quants_soa(cfg, new[0], new[1])
-        return new, (best_ask, best_bid)
+        return new, (rec, best_ask, best_bid)
 
-    (a, b, t, _, _), (asks_hist, bids_hist) = jax.lax.scan(step, soa,
-                                                           (keys, msgs))
-    last = (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(t))
+    (a, b, _, _), (recs, asks_hist, bids_hist) = jax.lax.scan(
+        step, soa, (keys, msgs))
+    trades = _finalize_trades(cfg, _trades_to_soa(book_state[2]), recs)
+    last = (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(trades))
     return last, (asks_hist[-n_steps:], bids_hist[-n_steps:])
 
 

@@ -203,3 +203,15 @@ def test_queries_equivalence():
     rt, ro = job.get_agent_trades(trades, -150)
     np.testing.assert_array_equal(np.asarray(ot), np.asarray(rt))
     np.testing.assert_array_equal(np.asarray(oo), np.asarray(ro))
+
+
+def test_capped_trade_capture_on_normal_flow():
+    """With trade_capture_cap=16, results are still exact for flow where no
+    single message fills more than 16 orders (the realistic regime used by
+    the performance configs)."""
+    cfg = LobConfig(trade_capture_cap=16)
+    rng = np.random.default_rng(21)
+    init = init_book_messages(rng)
+    msgs = np.concatenate([init, random_message_stream(rng, 300)], axis=0)
+    ours, theirs = _run_both(cfg, msgs)
+    _assert_state_equal(ours, theirs)
