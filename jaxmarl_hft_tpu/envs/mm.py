@@ -832,7 +832,25 @@ class MarketMakingAgent:
             return self._obs_basic(world_state, agent_state, normalize,
                                    flatten)
         elif self.cfg.observation_space == "messages":
+            if total_messages is None:   # reset path: blank message window
+                n_msgs = self.cfg.num_messages_by_agent \
+                    + self.world_config.n_data_msg_per_step
+                total_messages = jnp.zeros((n_msgs, 8), dtype=I32)
             return total_messages
+        elif self.cfg.observation_space == "messages_new_tokenizer":
+            from .tokenizer import TokenizerConfig, tokenize_observation
+            n_msgs = self.cfg.num_messages_by_agent \
+                + self.world_config.n_data_msg_per_step
+            if total_messages is None:     # reset path (reference :443)
+                total_messages = jnp.zeros((n_msgs, 8), dtype=I32)
+            if lob_state_before is None:
+                from ..lob import queries as _q
+                lob_state_before = _q.get_L2_state(
+                    world_state.ask_raw_orders, world_state.bid_raw_orders,
+                    10, self.world_config)
+            return tokenize_observation(TokenizerConfig(), world_state,
+                                        total_messages, old_mid_price,
+                                        lob_state_before)
         else:
             raise ValueError(
                 f"Invalid observation_space {self.cfg.observation_space}")
@@ -914,4 +932,10 @@ class MarketMakingAgent:
         elif cfg.observation_space == "messages":
             n_msgs = cfg.num_messages_by_agent + wc.n_data_msg_per_step
             return spaces.Box(-wc.maxint, wc.maxint, (n_msgs, 8), dtype=I32)
+        elif cfg.observation_space == "messages_new_tokenizer":
+            from .tokenizer import TokenizerConfig
+            tok = TokenizerConfig()
+            n_msgs = cfg.num_messages_by_agent + wc.n_data_msg_per_step
+            return spaces.Box(0, tok.TOTAL_NUM_TOKENS - 1,
+                              (n_msgs * 13 + 84,), dtype=I32)
         raise ValueError(f"Invalid observation_space {cfg.observation_space}")

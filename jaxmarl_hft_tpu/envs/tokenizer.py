@@ -1,0 +1,110 @@
+"""Tokenized book+message observations for LM-style policies.
+
+Parity reference: mm_env.py:2824-2959 (_get_obs_msg_new_tokenizer). The
+reference depends on an external `lobgen` package for its token-offset
+config (a broken import, mm_env.py:143-144); here the offsets live in a
+self-contained TokenizerConfig with the same vocabulary layout: each int32
+field is split into two 16-bit tokens shifted into per-field vocabulary
+bands, and the pre-step L2 book state is bitcast into 16-bit tokens.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+U16_BAND = 1 << 16
+
+
+@dataclass(frozen=True)
+class TokenizerConfig:
+    """Vocabulary band offsets (mirrors lobgen's tokenizer config fields
+    used by the reference: EVENT_START, ORDER_ID_B_START, PRICE_B_START,
+    SIZE_B_START, TIME_B_START, TOTAL_NUM_TOKENS)."""
+    EVENT_START: int = 0
+    ORDER_ID_B_START: int = 64                 # 64 event/dir tokens
+    PRICE_B_START: int = 64 + U16_BAND
+    SIZE_B_START: int = 64 + 2 * U16_BAND
+    TIME_B_START: int = 64 + 3 * U16_BAND
+
+    @property
+    def TOTAL_NUM_TOKENS(self) -> int:
+        return 64 + 4 * U16_BAND
+
+
+def _split_and_offset(x, offset):
+    """int32 -> (low16+off, high16+off) (reference :2900-2904)."""
+    x = x.astype(jnp.int32)
+    low = (x & 0xFFFF).astype(jnp.uint32) + offset
+    high = ((x >> 16) & 0xFFFF).astype(jnp.uint32) + offset
+    return jnp.stack([low, high], axis=-1)
+
+
+def tokenize_messages(tok: TokenizerConfig, total_msgs, best_bids, best_asks,
+                      old_mid_price):
+    """Message-stream tokens: 13 tokens per message
+    (reference :2835-2922)."""
+    event = total_msgs[:, 0]
+    direction = total_msgs[:, 1]
+    order_id = total_msgs[:, 4]
+    price = total_msgs[:, 3] // 100
+    size = total_msgs[:, 2]
+    time_s = total_msgs[:, 6]
+    time_ns = total_msgs[:, 7]
+
+    # delta times with nanosecond borrow (reference :2845-2855)
+    ds = time_s[1:] - time_s[:-1]
+    dns = time_ns[1:] - time_ns[:-1]
+    ds = ds - (dns < 0)
+    dns = jnp.where(dns < 0, dns + 1_000_000_000, dns)
+    delta_time_s = jnp.concatenate([jnp.zeros((1,), ds.dtype), ds])
+    delta_time_ns = jnp.concatenate([jnp.zeros((1,), dns.dtype), dns])
+
+    # delta prices from the best-price histories (reference :2862-2887)
+    bb = best_bids[:, 0] // 100
+    ba = best_asks[:, 0] // 100
+    mids = (bb + ba) // 2
+    first = 2 * (mids[0] - old_mid_price // 100)
+    rest = (ba[1:] - ba[:-1]) + (bb[1:] - bb[:-1])
+    delta_price = jnp.concatenate(
+        [jnp.asarray(first, rest.dtype)[None], rest])
+
+    event_dir_tok = (direction.astype(jnp.uint8) * 4
+                     + event.astype(jnp.uint8)).astype(jnp.uint32) \
+        + tok.EVENT_START
+
+    toks = jnp.concatenate([
+        event_dir_tok[:, None],
+        _split_and_offset(order_id, tok.ORDER_ID_B_START),
+        _split_and_offset(price, tok.PRICE_B_START),
+        _split_and_offset(size, tok.SIZE_B_START),
+        _split_and_offset(delta_time_s, tok.TIME_B_START),
+        _split_and_offset(delta_time_ns, tok.TIME_B_START),
+        _split_and_offset(delta_price, tok.PRICE_B_START),
+    ], axis=-1)
+    return toks.reshape(-1)
+
+
+def tokenize_book(tok: TokenizerConfig, lob_state_before, time):
+    """Pre-step L2 book tokens: 84 = (2 time + 40 L2 fields) x 2 halves
+    (reference :2928-2948)."""
+    with_time = jnp.concatenate(
+        [jnp.stack([time[0], time[1]]),
+         lob_state_before]).astype(jnp.int32)
+    halves = jax.lax.bitcast_convert_type(with_time, jnp.uint16).reshape(-1)
+    n_levels = lob_state_before.shape[0] // 4
+    shift = jnp.array(
+        [tok.TIME_B_START] * 4
+        + [tok.PRICE_B_START, tok.PRICE_B_START, tok.SIZE_B_START,
+           tok.SIZE_B_START] * 2 * n_levels)
+    return halves.astype(jnp.uint32) + shift
+
+
+def tokenize_observation(tok: TokenizerConfig, world_state, total_msgs,
+                         old_mid_price, lob_state_before):
+    """Full observation: [book tokens, message tokens] (reference :2955)."""
+    book = tokenize_book(tok, lob_state_before, world_state.time)
+    msgs = tokenize_messages(tok, total_msgs, world_state.best_bids,
+                             world_state.best_asks, old_mid_price)
+    return jnp.concatenate([book, msgs], axis=0)

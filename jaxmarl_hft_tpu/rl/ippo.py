@@ -355,8 +355,28 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
 
     update_step_jit = jax.jit(lambda urs: _update_step(urs, None))
 
-    def train(rng, *, num_updates=None, log_fn=None, checkpoint_manager=None):
-        """Outer host loop over jitted update steps (reference :1099-1133)."""
+    def _eval_rollout(eval_env, train_states, rng, n_envs, n_steps):
+        """Greedy-policy rollout on a held-out env; returns per-type mean
+        rewards (reference: the CALC_EVAL on-device eval scan,
+        ippo_rnn_JAXMARL.py:876-975, here run between updates)."""
+        from .baselines import LearnedPolicy, rollout
+        from .networks import ActorCriticRNN
+        policies = []
+        for i, ts in enumerate(train_states):
+            net = ActorCriticRNN(_action_dims(eval_env.action_spaces[i]),
+                                 config=config)
+            policies.append(LearnedPolicy(net, ts.params))
+        rewards, dones, infos = rollout(
+            eval_env, policies, n_envs, n_steps,
+            seed=int(jax.random.randint(rng, (), 0, 2**20)),
+            gru_dim=config["GRU_HIDDEN_DIM"])
+        return {"eval_avg_reward": [float(jnp.mean(r)) for r in rewards]}
+
+    def train(rng, *, num_updates=None, log_fn=None, checkpoint_manager=None,
+              eval_env=None, eval_every: int = 10, eval_envs: int = 8,
+              eval_steps: int = 32):
+        """Outer host loop over jitted update steps (reference :1099-1133);
+        optional periodic held-out evaluation when `eval_env` is given."""
         num_updates = num_updates or config["NUM_UPDATES"]
         runner_state = init_state(rng)
         if mesh is not None:
@@ -368,6 +388,11 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
             update_runner_state, metrics = update_step_jit(
                 update_runner_state)
             metrics = jax.device_get(metrics)
+            if eval_env is not None and (step + 1) % eval_every == 0:
+                rng, ek = jax.random.split(rng)
+                metrics.update(_eval_rollout(
+                    eval_env, update_runner_state[0][0], ek, eval_envs,
+                    eval_steps))
             all_metrics.append(metrics)
             if log_fn is not None:
                 log_fn(step, metrics)

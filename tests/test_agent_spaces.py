@@ -171,3 +171,27 @@ def test_fixed_time_mode():
     obs, state, rewards, dones, info = env.step_env(sk, state, actions,
                                                     params)
     assert np.all(np.isfinite(np.asarray(obs[0])))
+
+
+def test_mm_tokenizer_obs_space():
+    """Self-contained tokenized book+message observation
+    (reference mm_env.py:2824-2959, with the external lobgen config replaced
+    by envs/tokenizer.TokenizerConfig)."""
+    kw = dict(MM_BASE, action_space="fixed_quants",
+              observation_space="messages_new_tokenizer")
+    env, obs, state, rewards = _run_env(mm_cfg=MMConfig(**kw))
+    expected = env.observation_spaces[0].shape[0]
+    o = np.asarray(obs[0])
+    assert o.shape == (1, expected)
+    from jaxmarl_hft_tpu.envs.tokenizer import TokenizerConfig
+    assert o.min() >= 0 and o.max() < TokenizerConfig().TOTAL_NUM_TOKENS
+
+
+def test_mm_messages_obs_space():
+    """Raw-message observation space runs end-to-end (incl. blank window on
+    reset)."""
+    kw = dict(MM_BASE, action_space="fixed_quants",
+              observation_space="messages")
+    env, obs, state, rewards = _run_env(mm_cfg=MMConfig(**kw))
+    n_msgs = env.num_msgs_per_step
+    assert np.asarray(obs[0]).shape == (1, n_msgs, 8)
