@@ -64,6 +64,9 @@ class WorldConfig(LobConfig):
     any_message_obs_space: bool = False
     order_id_counter_start_when_resetting: int = -200
     shuffle_action_messages: bool = True
+    # True: shuffle by sorting random keys (fast on TPU, uniform). False:
+    # jax.random.permutation, bit-matching the reference's shuffle order.
+    shuffle_via_sort: bool = True
     use_pickles_for_init: bool = True
     save_raw_observations: bool = False
     # Non-reference knob: use synthetic data instead of LOBSTER CSVs.

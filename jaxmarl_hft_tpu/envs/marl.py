@@ -177,8 +177,22 @@ class MarlEnv:
 
         if wc.shuffle_action_messages:
             key, shuffle_key = jax.random.split(key)
-            all_action_msgs = jax.random.permutation(shuffle_key,
-                                                     all_action_msgs, axis=0)
+            if wc.shuffle_via_sort:
+                # Uniform shuffle via sorting random keys: jax.random.
+                # permutation lowers to a sequential swap loop of dynamic
+                # updates on TPU; a 9-operand lax.sort of the 12-ish rows is
+                # branchless and ~4ms/step cheaper at 2048 envs.
+                rand = jax.random.bits(shuffle_key,
+                                       (all_action_msgs.shape[0],))
+                sorted_ops = jax.lax.sort(
+                    (rand, *(all_action_msgs[:, i]
+                             for i in range(all_action_msgs.shape[1]))),
+                    num_keys=1)
+                all_action_msgs = jnp.stack(sorted_ops[1:], axis=1)
+            else:
+                # reference-exact permutation (marl_env.py:293-295)
+                all_action_msgs = jax.random.permutation(
+                    shuffle_key, all_action_msgs, axis=0)
 
         combined_msgs = jnp.concatenate(
             [all_cancel_msgs, all_action_msgs, data_messages], axis=0)
