@@ -57,6 +57,18 @@ def _select_row(planes, idx):
     return tuple(jnp.sum(jnp.where(sel, pl, 0)) for pl in planes)
 
 
+def _roll_dynamic(plane, shift, n):
+    """jnp.roll(plane, shift) for a traced non-negative shift < n, as
+    log-step static rolls. XLA:TPU lowers a *dynamic* roll to a serialised
+    swap loop (measured 137x slower end-to-end); static rolls are
+    slice+concat vector ops, so ceil(log2 n) masked static rolls win."""
+    s = 1
+    while s < n:
+        plane = jnp.where((shift & s) != 0, jnp.roll(plane, s), plane)
+        s <<= 1
+    return plane
+
+
 # --------------------------------------------------------------------------- #
 # Core sorted-side operations
 # --------------------------------------------------------------------------- #
@@ -93,7 +105,7 @@ def _match_sorted(nTrades, opp, trades, qtm, price, agr_oid, time_s, time_ns,
         """field over orders (length n) -> trade slots via roll by base."""
         src = field_n[:nTrades] if n >= nTrades else jnp.concatenate(
             [field_n, jnp.zeros((nTrades - n,), field_n.dtype)])
-        return jnp.roll(src, base)
+        return _roll_dynamic(src, base, nTrades)
 
     b = lambda x: jnp.broadcast_to(jnp.asarray(x, I32), p.shape)
     fields = (p, (-side_sign * fill).astype(I32), oid, b(agr_oid), b(time_s),
@@ -112,7 +124,8 @@ def _match_sorted(nTrades, opp, trades, qtm, price, agr_oid, time_s, time_ns,
     q2 = (q - fill).astype(I32)
     dead = filled & (q2 <= 0)
     d = jnp.sum(dead).astype(I32)            # dead rows are the prefix [0, d)
-    rolled = tuple(jnp.roll(pl, -d) for pl in (p, q2, oid, tid, ts, tn))
+    rolled = tuple(_roll_dynamic(pl, n - d, n)
+                   for pl in (p, q2, oid, tid, ts, tn))
     n_valid_new = jnp.sum(valid).astype(I32) - d
     keep = _iota(n) < n_valid_new
     neg1 = jnp.full((n,), -1, I32)
@@ -285,10 +298,11 @@ def _best_bid_ask_quants_sorted(cfg, asks, bids):
     bp, bq = bids[0], bids[1]
     best_ask = ap[0]
     best_bid = bp[0]
+    # NOTE an empty side yields volume -nOrders (the -1 sentinels are
+    # summed) — reference parity (get_volume_at_price :906-917 applied to
+    # best price -1); the env zeroes these in _ffill_best_prices.
     ask_vol = jnp.sum(jnp.where(ap == best_ask, aq, 0))
     bid_vol = jnp.sum(jnp.where(bp == best_bid, bq, 0))
-    ask_vol = jnp.where(best_ask == -1, 0, ask_vol)
-    bid_vol = jnp.where(best_bid == -1, 0, bid_vol)
     return (jnp.stack([best_ask, ask_vol]).astype(I32),
             jnp.stack([best_bid, bid_vol]).astype(I32))
 
@@ -347,11 +361,19 @@ def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
 
 
 def get_scan_fns(cfg):
-    """Engine selection: cfg.matching_engine 'sorted' (fast, default) or
-    'exact' (reference slot layout, bit-parity)."""
+    """Engine selection by cfg.matching_engine:
+    'exact'  — reference slot layout, rank-plane matcher (bit-parity);
+    'sorted' — compacted sorted sides, O(n)/message (lax; slow on TPU —
+               its dynamic rolls serialise under XLA);
+    'pallas' — the sorted algorithm as a TPU Pallas kernel
+               (ops/book_scan.py); the one-time world-replay scan uses the
+               lax sorted path (layout-compatible)."""
     eng = getattr(cfg, "matching_engine", "sorted")
+    import sys
+    mod = sys.modules[__name__]
+    if eng == "pallas":
+        from ..ops import book_scan
+        return mod.scan_messages, book_scan.scan_messages_save_bidask
     if eng == "sorted":
-        import sys
-        mod = sys.modules[__name__]
         return mod.scan_messages, mod.scan_messages_save_bidask
     return ex.scan_messages, ex.scan_messages_save_bidask
