@@ -1,0 +1,40 @@
+# Convenience targets (reference parity: Makefile:34-65 of biiiipy/JaxMARL-HFT,
+# minus docker — this package runs directly on the host TPU VM).
+PY ?= python
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-fast:
+	$(PY) -m pytest tests/test_engine_golden.py tests/test_book_and_misc.py \
+		tests/test_data_and_config.py -q
+
+bench:
+	$(PY) bench.py
+
+speed-test:
+	$(PY) scripts/speed_test.py
+
+ppo-2player:
+	$(PY) scripts/train.py --env-config configs/2_player_fq_fqc.json \
+		--rl-config configs/ippo_2player.yaml
+
+ppo-exec:
+	$(PY) scripts/train.py --env-config configs/exec_longrun_fixed_quants_complex.json \
+		--rl-config configs/ippo_exec_fqc.yaml
+
+ppo-mm:
+	$(PY) scripts/train.py --env-config configs/mm_debug_fixed_quant.json \
+		--rl-config configs/ippo_mm_fq.yaml
+
+baseline-eval:
+	$(PY) scripts/evaluate.py --env-config configs/2_player_fq_fqc.json
+
+plot:
+	$(PY) scripts/plots.py
+
+scaling:
+	$(PY) scripts/scaling_test.py
+
+.PHONY: test test-fast bench speed-test ppo-2player ppo-exec ppo-mm \
+	baseline-eval plot scaling
