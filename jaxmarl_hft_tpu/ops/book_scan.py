@@ -47,6 +47,20 @@ from ..lob import engine_sorted as es
 I32 = jnp.int32
 LANES = 128
 TILE_B = 8
+# Unroll the message loop in Python instead of lax.fori_loop. Static loop
+# indices turn the per-message msgs read and rec store into static slices
+# (no dynamic-sublane vector load/store, which Mosaic handles poorly) at the
+# cost of a larger-to-compile kernel body. Interpret mode (CPU tests) keeps
+# the rolled loop — tracing a 100+-message unrolled body through the
+# interpreter is minutes-slow; tests cover the unrolled path with a small
+# message count via _force_unroll.
+_force_unroll = None        # tests: True/False overrides the backend default
+
+
+def _use_unroll():
+    if _force_unroll is not None:
+        return _force_unroll
+    return jax.default_backend() == "tpu"
 
 # rec-register lane layout: [P(cap) | Q(cap) | OID(cap) | TID(cap) |
 #                            LP LQ LOID LTID K AOID TS TN ATID |
@@ -67,7 +81,8 @@ def _roll(x, s):
     return pltpu.roll(x, s % LANES, axis=1)
 
 
-def _scan_kernel(cfg, n, M, cap, msgs_ref, book_ref, out_ref, rec_ref):
+def _scan_kernel(cfg, n, M, cap, unroll, msgs_ref, book_ref, out_ref,
+                 rec_ref):
     """Grid program over one batch tile. msgs_ref (8, TB, Mpad);
     book_ref/out_ref (12, TB, LANES) = ask p,q,oid,tid,ts,tn then bid;
     rec_ref (TB, Mpad, LANES)."""
@@ -112,11 +127,14 @@ def _scan_kernel(cfg, n, M, cap, msgs_ref, book_ref, out_ref, rec_ref):
         asks = (ap, aq, aoid, atid, ats, atn)
         bids = (bp, bq, boid, btid, bts, btn)
 
-        # Mosaic cannot load a single dynamic lane; select lane m of the
-        # resident (TB, Mpad) field rows with a one-hot reduce instead.
-        msel = mlane == m
-        col = [jnp.sum(jnp.where(msel, msgs_ref[f], 0), axis=1,
-                       keepdims=True) for f in range(8)]
+        if unroll:
+            col = [msgs_ref[f, :, m:m + 1] for f in range(8)]
+        else:
+            # Mosaic cannot load a single dynamic lane; select lane m of
+            # the resident (TB, Mpad) field rows with a one-hot reduce.
+            msel = mlane == m
+            col = [jnp.sum(jnp.where(msel, msgs_ref[f], 0), axis=1,
+                           keepdims=True) for f in range(8)]
         t = col[MsgCol.TYPE]
         s_raw = col[MsgCol.SIDE]
         quant_m = col[MsgCol.QUANT]
@@ -272,11 +290,19 @@ def _scan_kernel(cfg, n, M, cap, msgs_ref, book_ref, out_ref, rec_ref):
         for j, v in enumerate((ba, bav, bb, bbv)):
             rec = rec + at_lane(off + 9 + j, v)
 
-        rec_ref[:, pl.ds(m, 1), :] = rec[:, None, :]
+        if unroll:
+            rec_ref[:, m, :] = rec
+        else:
+            rec_ref[:, pl.ds(m, 1), :] = rec[:, None, :]
         return tuple(nasks) + tuple(nbids)
 
     planes0 = tuple(book_ref[j] for j in range(12))
-    planes = jax.lax.fori_loop(0, M, body, planes0)
+    if unroll:
+        planes = planes0
+        for m in range(M):
+            planes = body(m, planes)
+    else:
+        planes = jax.lax.fori_loop(0, M, body, planes0)
     for j in range(12):
         out_ref[j] = planes[j]
 
@@ -306,7 +332,7 @@ def _batched_scan(cfg, M, key, msgs, book_state):
 
     grid = (Bpad // TILE_B,)
     out_book, recs = pl.pallas_call(
-        functools.partial(_scan_kernel, cfg, n, M, cap),
+        functools.partial(_scan_kernel, cfg, n, M, cap, _use_unroll()),
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, TILE_B, Mpad), lambda i: (0, i, 0),

@@ -108,6 +108,24 @@ def test_kernel_type4_and_eviction_paths():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_kernel_unrolled_path():
+    """The TPU production path unrolls the message loop (static msgs reads +
+    rec stores). Cover it in interpret mode with a small stream."""
+    msgs_b = _batch_streams(2, 8, 40)[:, :24]
+    n_steps = msgs_b.shape[1]
+    book_scan._force_unroll = True
+    book_scan._make_scan_bidask.cache_clear()
+    try:
+        (pal_state, (pal_a, pal_b)), (srt_state, (srt_a, srt_b)) = \
+            _run_pallas_and_sorted(CFG, msgs_b, n_steps)
+    finally:
+        book_scan._force_unroll = None
+        book_scan._make_scan_bidask.cache_clear()
+    for got, want in zip(jax.tree.leaves(((pal_state), pal_a, pal_b)),
+                         jax.tree.leaves(((srt_state), srt_a, srt_b))):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_unbatched_call_falls_back():
     """A non-vmapped call uses the lax sorted engine (no kernel)."""
     rng = np.random.default_rng(3)
