@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build_env(n_data_msg=100, n_per_type=(1, 1)):
+def build_env(n_data_msg=100, n_per_type=(1, 1), engine="exact"):
     from jaxmarl_hft_tpu.config.structs import (ExecConfig, MMConfig,
                                                 MultiAgentConfig, WorldConfig)
     from jaxmarl_hft_tpu.envs.marl import MarlEnv
@@ -27,7 +27,7 @@ def build_env(n_data_msg=100, n_per_type=(1, 1)):
         synthetic_data=True, synthetic_n_msgs=400_000, ep_type="fixed_steps",
         episode_time=64, start_resolution=64,
         n_data_msg_per_step=n_data_msg, use_pickles_for_init=False,
-        trade_capture_cap=16)
+        trade_capture_cap=16, matching_engine=engine)
     agents = (
         ("MarketMaking", MMConfig(action_space="fixed_quants",
                                   observation_space="basic",
@@ -93,9 +93,11 @@ def main():
     ap.add_argument("--envs", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--n-data-msg", type=int, default=100)
+    ap.add_argument("--engine", type=str, default="exact",
+                    choices=["exact", "sorted", "pallas"])
     args = ap.parse_args()
 
-    env = build_env(n_data_msg=args.n_data_msg)
+    env = build_env(n_data_msg=args.n_data_msg, engine=args.engine)
     sps, compile_time, elapsed = bench_rollout(env, args.envs, args.steps)
     target_per_chip = 1_000_000 / 16  # BASELINE.md: 1M aggregate on v5e-16
     print(json.dumps({

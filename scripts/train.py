@@ -68,6 +68,47 @@ def main():
                 rl_overrides = yaml.safe_load(f)
             else:
                 rl_overrides = json.load(f)
+
+    # SWEEP_PARAMETERS: {param: {values: [...]}} expands to a sequential
+    # grid of runs (reference: WandB sweep grids, ippo_rnn_JAXMARL.py
+    # :1168-1274 — here run locally one after another). A swept
+    # AGENT_CONFIGS entry overrides per-agent env-config fields via the
+    # same three-layer precedence as the reference.
+    sweep = rl_overrides.pop("SWEEP_PARAMETERS", None)
+    if sweep:
+        import itertools as it
+
+        from jaxmarl_hft_tpu.config.io import make_agent_configs
+        keys = list(sweep)
+        grids = [sweep[k]["values"] if isinstance(sweep[k], dict)
+                 else sweep[k] for k in keys]
+        for point in it.product(*grids):
+            overrides = dict(rl_overrides)
+            overrides.update(dict(zip(keys, point)))
+            point_cfg = ma_cfg
+            agent_over = overrides.pop("AGENT_CONFIGS", None)
+            if agent_over:
+                from jaxmarl_hft_tpu.config.io import config_to_dict
+                merged = config_to_dict(ma_cfg)
+                merged["AGENT_CONFIGS"] = agent_over
+                acs = make_agent_configs(merged)
+                point_cfg = MultiAgentConfig(
+                    world_config=ma_cfg.world_config,
+                    agents=tuple((n, acs[n]) for n, _ in ma_cfg.agents),
+                    number_of_agents_per_type=
+                    ma_cfg.number_of_agents_per_type)
+            tag = ",".join(f"{k}={v}" for k, v in zip(keys, point))
+            print(f"=== sweep point: {tag}")
+            _run_one(args, point_cfg, overrides, tag)
+        return
+
+    _run_one(args, ma_cfg, rl_overrides, None)
+
+
+def _run_one(args, ma_cfg, rl_overrides, tag):
+    from jaxmarl_hft_tpu.envs.marl import MarlEnv
+    from jaxmarl_hft_tpu.rl.ippo import default_train_config, make_train
+
     cfg = default_train_config(**rl_overrides)
     cfg["SEED"] = args.seed
     if args.num_envs:
@@ -88,7 +129,9 @@ def main():
     ckpt_mgr = None
     if args.checkpoint_dir:
         from jaxmarl_hft_tpu.rl.checkpoint import make_checkpoint_manager
-        ckpt_mgr = make_checkpoint_manager(args.checkpoint_dir)
+        ckpt_dir = (os.path.join(args.checkpoint_dir, tag) if tag
+                    else args.checkpoint_dir)
+        ckpt_mgr = make_checkpoint_manager(ckpt_dir)
 
     log_f = open(args.log_file, "a") if args.log_file else None
     t_start = time.time()
@@ -97,6 +140,7 @@ def main():
         elapsed = time.time() - t_start
         steps_done = (step + 1) * cfg["NUM_STEPS"] * cfg["NUM_ENVS"]
         line = {
+            **({"sweep": tag} if tag else {}),
             "update": step,
             "env_steps": steps_done,
             "steps_per_sec": steps_done / elapsed,
