@@ -81,6 +81,30 @@ def test_baseline_rollout(env):
     assert np.all(np.isfinite(np.asarray(rewards[1])))
 
 
+def test_checkpoint_roundtrip(env, tmp_path):
+    """Orbax save -> restore reproduces the trained parameters exactly
+    (reference: ippo_rnn_JAXMARL.py:1088-1133 save, baseline_JAXMARL.py
+    :502-585 restore-into-target)."""
+    from jaxmarl_hft_tpu.rl.checkpoint import (make_checkpoint_manager,
+                                               restore_checkpoint,
+                                               save_checkpoint)
+    train = make_train(small_config(), env)
+    out = train(jax.random.PRNGKey(1), num_updates=2)
+    train_states = out["runner_state"][0]
+
+    mgr = make_checkpoint_manager(str(tmp_path / "ckpt"))
+    save_checkpoint(mgr, 2, train_states, metrics=out["metrics"][-1])
+    assert mgr.latest_step() == 2
+
+    target = {"model": [jax.device_get(ts.params) for ts in train_states],
+              "metrics": jax.device_get(out["metrics"][-1]["loss"])}
+    zero_target = jax.tree.map(np.zeros_like, target)
+    restored = restore_checkpoint(mgr, target=zero_target)
+    for got, want in zip(jax.tree.leaves(restored["model"]),
+                         jax.tree.leaves(target["model"])):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_autoregressive_heads():
     """Multi-head autoregressive output wiring (used for fixed_prices-style
     action spaces)."""
