@@ -158,3 +158,46 @@ def test_own_presets_load():
         if f.endswith(".json"):
             cfg = load_config(os.path.join("configs", f))
             assert cfg.world_config.synthetic_data
+
+
+def test_lobster_loader_from_csv_files(tmp_path):
+    """End-to-end CSV path of LobsterLoader: write LOBSTER-format message +
+    orderbook file pairs, load, check window indexing, and the npz cache
+    round trip (reference: run_loading :626-695)."""
+    import numpy as np
+
+    from jaxmarl_hft_tpu.data.lobster import LobsterLoader
+
+    rng = np.random.default_rng(0)
+    day_dir = tmp_path / "rawLOBSTER" / "TEST" / "2024"
+    day_dir.mkdir(parents=True)
+    n, levels = 600, 10
+    t = np.sort(34200 + rng.random(n) * 600)
+    typ = rng.choice([1, 1, 1, 2, 4, 5], size=n)        # type 5 is dropped
+    oid = rng.integers(1000, 9999, n)
+    qty = rng.integers(1, 100, n)
+    price = rng.integers(21900, 22100, n) * 100
+    direction = rng.choice([-1, 1], n)
+    msgs = np.stack([t, typ, oid, qty, price, direction], axis=1)
+    book = np.tile(np.arange(4 * levels), (n, 1)) + 2_000_000
+    np.savetxt(day_dir / "TEST_message_10.csv", msgs, delimiter=",",
+               fmt=["%.9f"] + ["%d"] * 5)
+    np.savetxt(day_dir / "TEST_orderbook_10.csv", book, delimiter=",",
+               fmt="%d")
+
+    loader = LobsterLoader(str(tmp_path), str(tmp_path), stock="TEST",
+                           time_period="2024", episode_time=4,
+                           window_resolution=4, n_data_msg_per_step=10)
+    data = loader.run_loading("csvtest")
+    assert data.messages.shape[1] == 8
+    # dropped type-5 rows and merged same-timestamp executions
+    assert data.messages.shape[0] < n
+    assert set(np.unique(data.messages[:, 0])).issubset({1, 2, 4})
+    assert data.starts.shape == data.ends.shape
+    assert (data.ends > data.starts).all()
+    assert data.init_books.shape[0] == data.starts.shape[0]
+
+    # second call must hit the npz cache and be identical
+    data2 = loader.run_loading("csvtest")
+    for a, b in zip(data.astuple(), data2.astuple()):
+        np.testing.assert_array_equal(a, b)
