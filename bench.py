@@ -88,6 +88,30 @@ def bench_rollout(env, n_envs, n_steps, seed=0):
     return steps_per_sec, compile_time, elapsed
 
 
+def _preflight(timeout_s: int = 240) -> bool:
+    """The TPU tunnel can wedge so that every program hangs forever (see
+    CLAUDE.md); bound the bench with a watchdog so a dead device yields an
+    honest zero-valued record instead of a hung process."""
+    import signal
+
+    def _bail(signum, frame):
+        raise TimeoutError("device preflight timed out")
+
+    signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(timeout_s)
+    try:
+        import numpy as np
+        dev = jax.devices()[0]
+        np.asarray(jax.jit(lambda a: (a @ a).sum())(jnp.ones((64, 64))))
+        print(f"# preflight ok on {dev}", file=sys.stderr)
+        return True
+    except Exception as e:   # noqa: BLE001 - any failure means no device
+        print(f"# preflight FAILED: {e}", file=sys.stderr)
+        return False
+    finally:
+        signal.alarm(0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=2048)
@@ -96,6 +120,14 @@ def main():
     ap.add_argument("--engine", type=str, default="exact",
                     choices=["exact", "sorted", "pallas"])
     args = ap.parse_args()
+
+    if not _preflight():
+        print(json.dumps({
+            "metric": "env_steps_per_sec", "value": 0,
+            "unit": "env-steps/s/chip (DEVICE UNAVAILABLE - preflight "
+                    "timed out; see BASELINE.md for recorded measurements)",
+            "vs_baseline": 0}))
+        return
 
     env = build_env(n_data_msg=args.n_data_msg, engine=args.engine)
     sps, compile_time, elapsed = bench_rollout(env, args.envs, args.steps)
