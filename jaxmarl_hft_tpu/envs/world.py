@@ -170,6 +170,29 @@ class WorldEnv:
             jnp.asarray(self.cfg.window_selector, dtype=I32))
         return 0, index_tree(params.init_states_array, idx)
 
+    def step_env(self, key, state: LoadedEnvState, action,
+                 params: LoadedEnvParams):
+        """Standalone data-only replay step — the action is ignored ("DO
+        NOTHING"); the MARL orchestrator does not use this, it exists for
+        world-replay experiments (reference: base_env.py:189-216)."""
+        cfg = self.cfg
+        msgs = self.get_data_messages(
+            params.message_data, state.start_index, state.step_counter,
+            state.init_time[0] + cfg.episode_time)
+        time = msgs[-1, -2:]
+        scan_fn, _ = engine_sorted.get_scan_fns(cfg)
+        asks, bids, trades = scan_fn(
+            cfg, key, msgs,
+            (state.ask_raw_orders, state.bid_raw_orders, state.trades))
+        state = LoadedEnvState(
+            ask_raw_orders=asks, bid_raw_orders=bids, trades=trades,
+            init_time=state.init_time, window_index=state.window_index,
+            max_steps_in_episode=state.max_steps_in_episode,
+            start_index=state.start_index,
+            step_counter=state.step_counter + 1)
+        done = (time - state.init_time)[0] >= cfg.episode_time
+        return 0, state, 0.0, done, {"info": 0}
+
     def get_data_messages(self, message_data, start, step_counter,
                           end_time_s):
         """Slice this step's data messages; in fixed_time mode, zero messages

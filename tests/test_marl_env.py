@@ -185,3 +185,23 @@ def test_exec_task_progress():
             break
     executed = int(state.agent_states[1].quant_executed[0])
     assert executed > 0
+
+
+def test_world_standalone_replay_step():
+    """Data-only world replay (reference base_env.py:189-216): reset + two
+    steps advance the cursor and keep a consistent book."""
+    import numpy as np
+
+    from jaxmarl_hft_tpu.envs.marl import MarlEnv
+    env = MarlEnv(jax.random.PRNGKey(0), make_test_config())
+    base = env.base_env
+    params = base.default_params()
+    _, st = base.reset_env(jax.random.PRNGKey(1), params)
+    for i in range(2):
+        _, st, rew, done, info = base.step_env(
+            jax.random.fold_in(jax.random.PRNGKey(2), i), st, None, params)
+        assert rew == 0.0 and info == {"info": 0}
+    assert int(st.step_counter) >= 2
+    asks = np.asarray(st.ask_raw_orders)
+    valid = asks[asks[:, 0] != -1]
+    assert (valid[:, 1] > 0).all()
