@@ -195,7 +195,7 @@ def test_world_standalone_replay_step():
     from jaxmarl_hft_tpu.envs.marl import MarlEnv
     env = MarlEnv(jax.random.PRNGKey(0), make_test_config())
     base = env.base_env
-    params = base.default_params()
+    params = base.default_params
     _, st = base.reset_env(jax.random.PRNGKey(1), params)
     for i in range(2):
         _, st, rew, done, info = base.step_env(
