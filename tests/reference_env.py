@@ -171,13 +171,19 @@ def make_reference_env(data_root, at_root, *, stock="TEST", period="2024",
         timePeriod=period,
         **(world_overrides or {}),
     )
-    mm = ref_cfg.MarketMaking_EnvironmentConfig(
-        **(mm_overrides or {}))
-    ex = ref_cfg.Execution_EnvironmentConfig(
-        **(exec_overrides or {}))
+    agents = {}
+    if mm_overrides is not None:
+        agents["MarketMaking"] = ref_cfg.MarketMaking_EnvironmentConfig(
+            **mm_overrides)
+    if exec_overrides is not None:
+        agents["Execution"] = ref_cfg.Execution_EnvironmentConfig(
+            **exec_overrides)
+    if not agents:  # default 2-player
+        agents = {"MarketMaking": ref_cfg.MarketMaking_EnvironmentConfig(),
+                  "Execution": ref_cfg.Execution_EnvironmentConfig()}
     ma = ref_cfg.MultiAgentConfig(
         world_config=world,
-        dict_of_agents_configs={"MarketMaking": mm, "Execution": ex},
+        dict_of_agents_configs=agents,
         number_of_agents_per_type=list(n_per_type))
     if key is None:
         key = jax.random.PRNGKey(0)
