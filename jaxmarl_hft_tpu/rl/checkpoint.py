@@ -39,3 +39,60 @@ def restore_checkpoint(manager, step: int | None = None, target=None):
     if target is not None:
         return manager.restore(step, args=ocp.args.StandardRestore(target))
     return manager.restore(step)
+
+
+# --------------------------------------------------------------------------
+# Full training resume — an explicit improvement over the reference, which
+# only restores parameters for evaluation (SURVEY.md §5: "No optimizer-
+# state-resume of training mid-run"). Here the ENTIRE runner state (params,
+# optimizer state incl. Adam moments and LR-anneal counts, env states, obs,
+# dones, GRU hidden states, PRNG key) round-trips, so a resumed run is a
+# bit-exact continuation of an uninterrupted one.
+# --------------------------------------------------------------------------
+
+def _runner_payload(runner_state, update_step: int):
+    train_states, env_state, obsv, dones, hstates, rng = runner_state
+    return {
+        "params": [ts.params for ts in train_states],
+        "opt_state": [ts.opt_state for ts in train_states],
+        "ts_step": [ts.step for ts in train_states],
+        "env_state": env_state,
+        "obsv": list(obsv),
+        "dones": list(dones),
+        "hstates": list(hstates),
+        "rng": rng,
+        "update_step": jnp_int(update_step),
+    }
+
+
+def jnp_int(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x, jnp.int32)
+
+
+def save_train_checkpoint(manager, update_step: int, runner_state,
+                          metrics: Any = None):
+    """Save a full-resume checkpoint (also carries the eval-compatible
+    'model' key used by scripts/evaluate.py)."""
+    payload = _runner_payload(runner_state, update_step)
+    payload["model"] = payload["params"]
+    manager.save(update_step, args=ocp.args.StandardSave(
+        jax.device_get(payload)))
+    manager.wait_until_finished()
+
+
+def restore_train_checkpoint(manager, runner_state, step: int | None = None):
+    """Restore into a freshly-initialised runner state (the target supplies
+    the pytree structure). Returns (runner_state, next_update_step)."""
+    step = manager.latest_step() if step is None else step
+    target = jax.device_get(_runner_payload(runner_state, 0))
+    target["model"] = target["params"]
+    restored = manager.restore(step, args=ocp.args.StandardRestore(target))
+    train_states, _, _, _, _, _ = runner_state
+    new_ts = [ts.replace(params=p, opt_state=o, step=s)
+              for ts, p, o, s in zip(train_states, restored["params"],
+                                     restored["opt_state"],
+                                     restored["ts_step"])]
+    new_runner = (new_ts, restored["env_state"], restored["obsv"],
+                  restored["dones"], restored["hstates"], restored["rng"])
+    return new_runner, int(restored["update_step"]) + 1

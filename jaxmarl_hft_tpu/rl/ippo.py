@@ -374,17 +374,30 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
 
     def train(rng, *, num_updates=None, log_fn=None, checkpoint_manager=None,
               eval_env=None, eval_every: int = 10, eval_envs: int = 8,
-              eval_steps: int = 32):
+              eval_steps: int = 32, resume_from=None,
+              full_checkpoints: bool = False):
         """Outer host loop over jitted update steps (reference :1099-1133);
-        optional periodic held-out evaluation when `eval_env` is given."""
+        optional periodic held-out evaluation when `eval_env` is given.
+
+        `resume_from` (a CheckpointManager with a full-resume checkpoint)
+        continues training bit-exactly where it stopped — params, optimizer
+        state, env states, hidden states, and PRNG all restored; the
+        reference can only restore params for evaluation.
+        `full_checkpoints=True` saves such resumable checkpoints (the
+        eval-compatible 'model' key is included either way)."""
         num_updates = num_updates or config["NUM_UPDATES"]
         runner_state = init_state(rng)
+        start_step = 0
+        if resume_from is not None and resume_from.latest_step() is not None:
+            from .checkpoint import restore_train_checkpoint
+            runner_state, start_step = restore_train_checkpoint(
+                resume_from, runner_state)
         if mesh is not None:
             from ..parallel.mesh import shard_runner_state
             runner_state = shard_runner_state(runner_state, mesh)
-        update_runner_state = (runner_state, 0)
+        update_runner_state = (runner_state, start_step)
         all_metrics = []
-        for step in range(num_updates):
+        for step in range(start_step, num_updates):
             update_runner_state, metrics = update_step_jit(
                 update_runner_state)
             metrics = jax.device_get(metrics)
@@ -397,9 +410,14 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
             if log_fn is not None:
                 log_fn(step, metrics)
             if checkpoint_manager is not None:
-                from .checkpoint import save_checkpoint
-                save_checkpoint(checkpoint_manager, step,
-                                update_runner_state[0][0], metrics)
+                if full_checkpoints:
+                    from .checkpoint import save_train_checkpoint
+                    save_train_checkpoint(checkpoint_manager, step,
+                                          update_runner_state[0], metrics)
+                else:
+                    from .checkpoint import save_checkpoint
+                    save_checkpoint(checkpoint_manager, step,
+                                    update_runner_state[0][0], metrics)
         return {"runner_state": update_runner_state[0],
                 "metrics": all_metrics, "config": config}
 

@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--num-envs", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--checkpoint-dir", type=str, default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume bit-exactly from the latest full checkpoint "
+                         "in --checkpoint-dir (implies --full-checkpoints)")
+    ap.add_argument("--full-checkpoints", action="store_true",
+                    help="save resumable checkpoints (params + optimizer + "
+                         "env/PRNG state), not just eval params")
     ap.add_argument("--log-file", type=str, default=None,
                     help="JSONL metrics log")
     ap.add_argument("--synthetic", action="store_true",
@@ -156,9 +162,11 @@ def _run_one(args, ma_cfg, rl_overrides, tag):
             log_f.write(json.dumps(line) + "\n")
             log_f.flush()
 
+    full = args.full_checkpoints or args.resume
     out = train(jax.random.PRNGKey(cfg["SEED"]),
                 num_updates=args.num_updates, log_fn=log_fn,
-                checkpoint_manager=ckpt_mgr)
+                checkpoint_manager=ckpt_mgr, full_checkpoints=full,
+                resume_from=ckpt_mgr if args.resume else None)
     elapsed = time.time() - t_start
     total = (args.num_updates or cfg["NUM_UPDATES"]) \
         * cfg["NUM_STEPS"] * cfg["NUM_ENVS"]

@@ -105,6 +105,37 @@ def test_checkpoint_roundtrip(env, tmp_path):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_train_resume_bit_exact(env, tmp_path):
+    """Full training resume (params + optimizer + env/PRNG state): 2 updates
+    + resume for 2 more == 4 uninterrupted updates, bit-for-bit. The
+    reference cannot do this (restore is eval-only, SURVEY.md §5)."""
+    from jaxmarl_hft_tpu.rl.checkpoint import make_checkpoint_manager
+
+    cfg = small_config()
+    train = make_train(cfg, env)
+    out_straight = train(jax.random.PRNGKey(5), num_updates=4)
+
+    mgr = make_checkpoint_manager(str(tmp_path / "resume_ckpt"),
+                                  max_to_keep=1)
+    train(jax.random.PRNGKey(5), num_updates=2, checkpoint_manager=mgr,
+          full_checkpoints=True)
+    assert mgr.latest_step() == 1
+
+    out_resumed = train(jax.random.PRNGKey(5), num_updates=4,
+                        resume_from=mgr)
+    assert len(out_resumed["metrics"]) == 2  # only updates 2 and 3 ran
+
+    p_straight = [ts.params for ts in out_straight["runner_state"][0]]
+    p_resumed = [ts.params for ts in out_resumed["runner_state"][0]]
+    for a, b in zip(jax.tree.leaves(p_straight), jax.tree.leaves(p_resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state also continues exactly
+    o_straight = [ts.opt_state for ts in out_straight["runner_state"][0]]
+    o_resumed = [ts.opt_state for ts in out_resumed["runner_state"][0]]
+    for a, b in zip(jax.tree.leaves(o_straight), jax.tree.leaves(o_resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_autoregressive_heads():
     """Multi-head autoregressive output wiring (used for fixed_prices-style
     action spaces)."""
