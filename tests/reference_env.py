@@ -159,7 +159,7 @@ def make_reference_env(data_root, at_root, *, stock="TEST", period="2024",
 
     ref_marl, ref_cfg = import_reference_env()
 
-    world = ref_cfg.World_EnvironmentConfig(
+    world_kwargs = dict(
         n_data_msg_per_step=n_data_msg_per_step,
         window_selector=window_selector,
         ep_type="fixed_steps",
@@ -169,8 +169,9 @@ def make_reference_env(data_root, at_root, *, stock="TEST", period="2024",
         alphatradePath=at_root,
         stock=stock,
         timePeriod=period,
-        **(world_overrides or {}),
     )
+    world_kwargs.update(world_overrides or {})
+    world = ref_cfg.World_EnvironmentConfig(**world_kwargs)
     agents = {}
     if mm_overrides is not None:
         agents["MarketMaking"] = ref_cfg.MarketMaking_EnvironmentConfig(

@@ -215,3 +215,40 @@ def test_capped_trade_capture_on_normal_flow():
     msgs = np.concatenate([init, random_message_stream(rng, 300)], axis=0)
     ours, theirs = _run_both(cfg, msgs)
     _assert_state_equal(ours, theirs)
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2, 3])
+def test_cancel_modes_equivalence(mode):
+    """All four CancelMode fallbacks, incl. the PRNG-driven random-order
+    picks of modes 2/3 (reference: get_random_id_match :141-155,
+    get_random_large_id_match :157-164) — same key tree, same picks."""
+    cfg = LobConfig(cancel_mode=mode)
+    rng = np.random.default_rng(31 + mode)
+    init = init_book_messages(rng)
+    stream = random_message_stream(rng, 250)
+    # salt the stream with cancels whose ids are NOT in the book, at prices
+    # that do exist, so every fallback path fires
+    extra = stream.copy()[:40]
+    extra[:, 0] = 2                       # type = cancel
+    extra[:, 4] = 999_999                 # unknown order id
+    extra[:, 5] = 999_999
+    msgs = np.concatenate([init, stream, extra], axis=0)
+    for seed in (0, 1):
+        ours, theirs = _run_both(cfg, msgs, key_seed=seed)
+        _assert_state_equal(ours, theirs)
+
+
+@pytest.mark.parametrize("t4", [0, 1, 2])
+def test_type4_interpretations_equivalence(t4):
+    """Type-4 execution messages under IOC / LIM / MKT (reference:
+    jaxob_constants.py:70-74; bid_lim :391-418, ask_lim :471-506)."""
+    cfg = LobConfig(type_4_interpretation=t4)
+    rng = np.random.default_rng(41 + t4)
+    init = init_book_messages(rng)
+    stream = random_message_stream(rng, 250)
+    # boost the share of type-4 messages
+    flip = rng.random(stream.shape[0]) < 0.3
+    stream[flip, 0] = 4
+    msgs = np.concatenate([init, stream], axis=0)
+    ours, theirs = _run_both(cfg, msgs)
+    _assert_state_equal(ours, theirs)

@@ -191,6 +191,18 @@ def test_random_task_matches_reference(data_root):
         _compare_episode(ref_env, ours, [13], (1,), seed=seed)
 
 
+def test_fixed_time_matches_reference(data_root):
+    """ep_type='fixed_time': episode end by wall-clock seconds, data messages
+    zeroed past the episode end time (reference base_env.py:339-369)."""
+    mm = dict(action_space="fixed_quants", observation_space="basic",
+              fixed_quant_value=1)
+    ref_env, ours = _build_pair(
+        data_root, mm=mm,
+        world=dict(ep_type="fixed_time", episode_time=120),
+        tag="ftime")
+    _compare_episode(ref_env, ours, [10], (1,), n_steps=12)
+
+
 def test_no_shuffle_matches_reference(data_root):
     mm = dict(action_space="fixed_quants", observation_space="basic",
               fixed_quant_value=2)
