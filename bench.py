@@ -114,8 +114,8 @@ def _preflight(timeout_s: int = 240) -> bool:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--envs", type=int, default=2048)
-    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--envs", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--n-data-msg", type=int, default=100)
     ap.add_argument("--engine", type=str, default="exact",
                     choices=["exact", "sorted", "pallas"])
