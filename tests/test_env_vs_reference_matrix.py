@@ -191,6 +191,53 @@ def test_random_task_matches_reference(data_root):
         _compare_episode(ref_env, ours, [13], (1,), seed=seed)
 
 
+@pytest.mark.parametrize("norm", [True, False], ids=["norm", "raw"])
+def test_mm_engineered_obs_matches_reference(data_root, norm):
+    """MM 'engineered' observation vector (10 features fixed_steps /
+    8 fixed_time, mm_env.py:3004-3154) incl. the manual mean/std
+    normalization + ravel flatten (:3157-3167)."""
+    mm = dict(action_space="fixed_quants", observation_space="engineered",
+              normalize=norm, fixed_quant_value=2)
+    ref_env, ours = _build_pair(data_root, mm=mm,
+                                tag=f"mmeng_{int(norm)}")
+    _compare_episode(ref_env, ours, [10], (1,))
+
+
+def test_mm_messages_obs_matches_reference(data_root):
+    """MM 'messages' obs space: raw step messages + the any_message_obs_space
+    L2-before path (marl_env.py:224-233). Step observations are
+    bit-identical. At RESET the reference returns literal None
+    (_get_obs_msg(None): blank messages are built only for the tokenizer
+    space, mm_env.py:436-447 -> :2818-2820), so the reference's reset obs
+    cannot be batched by the RL layer; ours returns
+    the zero message block instead (documented deviation)."""
+    mm = dict(action_space="fixed_quants", observation_space="messages",
+              fixed_quant_value=1)
+    ref_env, ours = _build_pair(data_root, mm=mm, tag="mmmsg")
+    ref_p, our_p = ref_env.default_params, ours.default_params
+    key = jax.random.PRNGKey(1)
+    ref_obs, ref_state = ref_env.reset_env(key, ref_p)
+    our_obs, our_state = ours.reset_env(key, our_p)
+    assert ref_obs[0] is None                      # upstream quirk
+    assert np.asarray(our_obs[0]).sum() == 0       # usable zeros instead
+
+    rng = np.random.default_rng(1)
+    for step in range(EPISODE_STEPS):
+        a = jnp.asarray(rng.integers(0, 10), jnp.int32)
+        k = jax.random.fold_in(jax.random.PRNGKey(301), step)
+        ref_obs, ref_state, ref_r, ref_d, _ = ref_env.step_env(
+            k, ref_state, [a], ref_p)
+        our_obs, our_state, our_r, our_d, _ = ours.step_env(
+            k, our_state, [a], our_p)
+        np.testing.assert_array_equal(np.asarray(ref_obs[0]),
+                                      np.asarray(our_obs[0]),
+                                      err_msg=f"msg obs step {step}")
+        np.testing.assert_array_equal(np.asarray(ref_r[0]),
+                                      np.asarray(our_r[0]))
+        if bool(np.asarray(our_d["__all__"])):
+            break
+
+
 def test_fixed_time_matches_reference(data_root):
     """ep_type='fixed_time': episode end by wall-clock seconds, data messages
     zeroed past the episode end time (reference base_env.py:339-369)."""
