@@ -170,6 +170,62 @@ def test_exec_reward_matches_reference(data_root, reward):
     _compare_episode(ref_env, ours, [13], (1,))
 
 
+def test_mm_reward_shaping_knobs_match_reference(data_root):
+    """Kitchen-sink of MM reward-shaping options in one combo: alternative
+    reference/unwind prices, reward clipping, extreme-spread zeroing,
+    threshold inventory penalty, market-share bonus, custom rebate."""
+    mm = dict(action_space="fixed_quants", observation_space="basic",
+              reward_function="spooner_asym_damped2", fixed_quant_value=2,
+              reference_price="mid_avg", unwind_price="far_touch",
+              clip_reward=True, exclude_extreme_spreads=True,
+              inv_penalty="threshold", inv_penalty_threshold=3.0,
+              volume_traded_bonus="linear", rebate_bps=20.0,
+              unwind_price_penalty=11)
+    ref_env, ours = _build_pair(data_root, mm=mm, tag="mmknobs")
+    _compare_episode(ref_env, ours, [10], (1,))
+
+
+def test_mm_auto_liquidate_matches_reference(data_root):
+    """auto_liquidate_threshold: |inventory| above the threshold forces an
+    IOC unwind order of alpha*inventory (mm_env.py:1086-1094)."""
+    mm = dict(action_space="fixed_quants", observation_space="basic",
+              fixed_quant_value=5, auto_liquidate_threshold=2,
+              auto_liquidate_alpha=0.5)
+    ref_env, ours = _build_pair(data_root, mm=mm, tag="mmliq")
+    # bias actions toward one-sided fills so inventory builds up fast
+    ref_p, our_p = ref_env.default_params, ours.default_params
+    key = jax.random.PRNGKey(3)
+    _, ref_state = ref_env.reset_env(key, ref_p)
+    _, our_state = ours.reset_env(key, our_p)
+    for step in range(EPISODE_STEPS):
+        a = jnp.asarray(0, jnp.int32)   # quote at best both sides
+        k = jax.random.fold_in(jax.random.PRNGKey(302), step)
+        _, ref_state, ref_r, ref_d, _ = ref_env.step_env(k, ref_state, [a],
+                                                         ref_p)
+        _, our_state, our_r, our_d, _ = ours.step_env(k, our_state, [a],
+                                                      our_p)
+        np.testing.assert_array_equal(
+            np.asarray(ref_state.agent_states[0].inventory),
+            np.asarray(our_state.agent_states[0].inventory))
+        np.testing.assert_array_equal(np.asarray(ref_r[0]),
+                                      np.asarray(our_r[0]))
+        if bool(np.asarray(our_d["__all__"])):
+            break
+
+
+def test_exec_pricing_knobs_match_reference(data_root):
+    """Exec price-ladder knobs: far_touch reference price (the unwind path
+    accepts only mid/far_touch — near_touch and the config-advertised
+    best_bid_ask both raise, exec_env.py:1576-1580), larger far-touch
+    quantity, deeper passive level, heavy doom penalty, drift weight."""
+    ex = dict(action_space="fixed_quants_complex",
+              observation_space="engineered", task="sell", task_size=40,
+              reference_price="far_touch", larger_far_touch_quant=True,
+              n_ticks_in_book=3, doom_price_penalty=20, reward_lambda=1.0)
+    ref_env, ours = _build_pair(data_root, ex=ex, tag="exknobs")
+    _compare_episode(ref_env, ours, [13], (1,))
+
+
 def test_multi_instance_matches_reference(data_root):
     """3 MM + 2 Exec instances: vmapped agent axes + disjoint trader ids."""
     mm = dict(action_space="fixed_quants", observation_space="basic",
