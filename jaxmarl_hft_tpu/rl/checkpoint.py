@@ -72,21 +72,41 @@ def jnp_int(x):
 
 def save_train_checkpoint(manager, update_step: int, runner_state,
                           metrics: Any = None):
-    """Save a full-resume checkpoint (also carries the eval-compatible
-    'model' key used by scripts/evaluate.py)."""
+    """Save a full-resume checkpoint. Evaluation tooling reads parameters
+    from the 'params' key (restore_model_params below handles both
+    formats), so parameters are serialized once."""
     payload = _runner_payload(runner_state, update_step)
-    payload["model"] = payload["params"]
+    if metrics is not None:
+        payload["metrics"] = jax.device_get(
+            jax.tree.map(lambda x: x, metrics.get("loss", [])))
     manager.save(update_step, args=ocp.args.StandardSave(
         jax.device_get(payload)))
     manager.wait_until_finished()
+
+
+def restore_model_params(manager, step: int | None = None):
+    """Restore just the per-type parameter list from either checkpoint
+    format (eval-only 'model' or full-resume 'params')."""
+    step = manager.latest_step() if step is None else step
+    raw = manager.restore(step)
+    return raw["model"] if "model" in raw else raw["params"]
 
 
 def restore_train_checkpoint(manager, runner_state, step: int | None = None):
     """Restore into a freshly-initialised runner state (the target supplies
     the pytree structure). Returns (runner_state, next_update_step)."""
     step = manager.latest_step() if step is None else step
+    raw = manager.restore(step)
+    missing = {"opt_state", "env_state", "rng", "update_step"} - set(raw)
+    if missing:
+        raise ValueError(
+            f"checkpoint step {step} is not a full-resume checkpoint "
+            f"(missing {sorted(missing)}); it was saved eval-only. "
+            "Re-train with --full-checkpoints to produce resumable "
+            "checkpoints.")
     target = jax.device_get(_runner_payload(runner_state, 0))
-    target["model"] = target["params"]
+    if "metrics" in raw:
+        target["metrics"] = raw["metrics"]
     restored = manager.restore(step, args=ocp.args.StandardRestore(target))
     train_states, _, _, _, _, _ = runner_state
     new_ts = [ts.replace(params=p, opt_state=o, step=s)

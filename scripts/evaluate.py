@@ -88,9 +88,9 @@ def main():
     restored = None
     if args.checkpoint_dir:
         from jaxmarl_hft_tpu.rl.checkpoint import (make_checkpoint_manager,
-                                                   restore_checkpoint)
+                                                   restore_model_params)
         mgr = make_checkpoint_manager(args.checkpoint_dir)
-        restored = restore_checkpoint(mgr)["model"]
+        restored = restore_model_params(mgr)
         print(f"restored checkpoint step {mgr.latest_step()}")
 
     import itertools

@@ -106,7 +106,7 @@ def main():
             msgs = jnp.asarray(np.stack([
                 make_stream(kind, n_msgs, np.random.default_rng(100 + e))
                 for e in range(min(n_envs, 64))]), jnp.int32)
-            msgs = jnp.tile(msgs, (n_envs // msgs.shape[0], 1, 1))
+            msgs = msgs[np.arange(n_envs) % msgs.shape[0]]
 
             N_ITERS = 16
             vscan = jax.vmap(lambda k, m, s: scan(ecfg, k, m, s, n_msgs))

@@ -6,7 +6,6 @@ WRONG, timing-only) variants and re-times the scan.
 """
 import os
 import sys
-import time
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
@@ -16,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _probe_util import timed_scan
 from reference_oracle import init_book_messages, random_message_stream
 from jaxmarl_hft_tpu.config.structs import LobConfig
 from jaxmarl_hft_tpu.lob import engine
@@ -23,34 +23,16 @@ from jaxmarl_hft_tpu.lob import engine
 I32 = jnp.int32
 N_ENVS = 2048
 N_MSGS = 112
-N_ITERS = 16
 
 
 def timed(label, cfg, keys, msgs, state_b):
     vscan = jax.vmap(lambda k, m, s: engine.scan_messages_save_bidask(
         cfg, k, m, s, N_MSGS))
 
-    @jax.jit
-    def run(keys, msgs, state_b):
-        def body(acc, i):
-            m = msgs.at[:, 0, 2].add(i % 2)
-            out = vscan(keys, m, state_b)
-            s = sum(jnp.sum(l).astype(jnp.int32)
-                    for l in jax.tree.leaves(out))
-            return acc + s, None
-        acc, _ = jax.lax.scan(body, jnp.int32(0),
-                              jnp.arange(N_ITERS, dtype=jnp.int32))
-        return acc
+    def body(i, keys, msgs, state_b):
+        return vscan(keys, msgs.at[:, 0, 2].add(i % 2), state_b)
 
-    np.asarray(run(keys, msgs, state_b))
-    dts = []
-    for _ in range(3):
-        t0 = time.time()
-        np.asarray(run(keys, msgs, state_b))
-        dts.append(time.time() - t0)
-    dt = min(dts) / N_ITERS
-    print(f"{label:44s} {dt*1e3:8.2f} ms/step", flush=True)
-    return dt
+    return timed_scan(label, body, (keys, msgs, state_b))
 
 
 def main():

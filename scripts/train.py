@@ -132,6 +132,8 @@ def _run_one(args, ma_cfg, rl_overrides, tag):
 
     train = make_train(cfg, env, mesh=mesh)
 
+    if args.resume and not args.checkpoint_dir:
+        raise SystemExit("--resume requires --checkpoint-dir")
     ckpt_mgr = None
     if args.checkpoint_dir:
         from jaxmarl_hft_tpu.rl.checkpoint import make_checkpoint_manager
@@ -141,10 +143,14 @@ def _run_one(args, ma_cfg, rl_overrides, tag):
 
     log_f = open(args.log_file, "a") if args.log_file else None
     t_start = time.time()
+    first_step = [None]   # resumed runs start at the checkpoint's update
 
     def log_fn(step, metrics):
         elapsed = time.time() - t_start
-        steps_done = (step + 1) * cfg["NUM_STEPS"] * cfg["NUM_ENVS"]
+        if first_step[0] is None:
+            first_step[0] = step
+        steps_done = (step - first_step[0] + 1) \
+            * cfg["NUM_STEPS"] * cfg["NUM_ENVS"]
         line = {
             **({"sweep": tag} if tag else {}),
             "update": step,
@@ -168,8 +174,9 @@ def _run_one(args, ma_cfg, rl_overrides, tag):
                 checkpoint_manager=ckpt_mgr, full_checkpoints=full,
                 resume_from=ckpt_mgr if args.resume else None)
     elapsed = time.time() - t_start
-    total = (args.num_updates or cfg["NUM_UPDATES"]) \
-        * cfg["NUM_STEPS"] * cfg["NUM_ENVS"]
+    updates_run = (args.num_updates or cfg["NUM_UPDATES"]) \
+        - (first_step[0] or 0)
+    total = updates_run * cfg["NUM_STEPS"] * cfg["NUM_ENVS"]
     print(f"done: {total} env steps in {elapsed:.1f}s "
           f"({total / elapsed:.0f} steps/s)")
 

@@ -24,6 +24,7 @@ def reference_available() -> bool:
 
 
 def _install_stubs():
+    _install_wandb_stub()
     if "gymnax" in sys.modules:
         return
 
@@ -86,7 +87,9 @@ def _install_stubs():
     sys.modules["gymnax.environments.environment"] = environment
     sys.modules["gymnax.environments.spaces"] = spaces
 
-    # ---- wandb (reference utils.py does `from wandb import agent`) ------
+
+def _install_wandb_stub():
+    # reference utils.py does `from wandb import agent`
     if "wandb" not in sys.modules:
         wandb = types.ModuleType("wandb")
         wandb.agent = None
