@@ -145,6 +145,57 @@ def test_exec_action_space_matches_reference(data_root, space, n_actions):
     _compare_episode(ref_env, ours, [n_actions], (1,))
 
 
+MM_VARIANTS = [
+    ("bobRL_v2", dict(action_space="bobRL", bob_v0=2), 5),
+    ("fq_ninth", dict(action_space="fixed_quants", tenth_action="NA"), 9),
+    ("simple_sellbuyall", dict(action_space="simple",
+                               sell_buy_all_option=True), 4),
+    ("simple_nonothing", dict(action_space="simple",
+                              simple_nothing_action=False), 3),
+]
+
+
+@pytest.mark.parametrize("tag,overrides,n_actions", MM_VARIANTS,
+                         ids=[t for t, _, _ in MM_VARIANTS])
+def test_mm_action_variants_match_reference(data_root, tag, overrides,
+                                            n_actions):
+    mm = dict(observation_space="basic", fixed_quant_value=2, **overrides)
+    ref_env, ours = _build_pair(data_root, mm=mm, tag=f"mmv_{tag}")
+    assert ours.action_spaces[0].n == n_actions
+    _compare_episode(ref_env, ours, [n_actions], (1,))
+
+
+@pytest.mark.parametrize("task_size", [60, 8], ids=["uncapped", "capped"])
+def test_exec_fixed_prices_matches_reference(data_root, task_size):
+    """Exec 'fixed_prices': MultiDiscrete quantity vector per price level,
+    proportionally capped to the remaining task (exec_env.py:1001-1123);
+    task_size=8 forces the cap branch. n_actions must be <= 4 upstream: the
+    price-ladder builders handle only 1-4 levels and silently return None
+    for the config default of 5 (exec_env.py:1048-1076)."""
+    ex = dict(action_space="fixed_prices", observation_space="engineered",
+              task="sell", task_size=task_size, fixed_quant_value=4,
+              n_actions=4)
+    ref_env, ours = _build_pair(data_root, ex=ex, tag=f"exfp{task_size}")
+    ref_p, our_p = ref_env.default_params, ours.default_params
+    key = jax.random.PRNGKey(2)
+    _, ref_state = ref_env.reset_env(key, ref_p)
+    _, our_state = ours.reset_env(key, our_p)
+    n_levels = ours.agent_configs[0].n_actions
+    rng = np.random.default_rng(2)
+    for step in range(EPISODE_STEPS):
+        a = jnp.asarray(rng.integers(0, 4, size=(n_levels,)), jnp.int32)
+        k = jax.random.fold_in(jax.random.PRNGKey(303), step)
+        ro, ref_state, rr, rd, _ = ref_env.step_env(k, ref_state, [a], ref_p)
+        oo, our_state, orr, od, _ = ours.step_env(k, our_state, [a], our_p)
+        np.testing.assert_array_equal(
+            np.asarray(ref_state.world_state.ask_raw_orders),
+            np.asarray(our_state.world_state.ask_raw_orders))
+        np.testing.assert_array_equal(np.asarray(rr[0]), np.asarray(orr[0]))
+        np.testing.assert_array_equal(np.asarray(ro[0]), np.asarray(oo[0]))
+        if bool(np.asarray(od["__all__"])):
+            break
+
+
 MM_REWARDS = ["portfolio_value", "buy_sell_pnl", "complex", "zero_inv",
               "spooner", "spooner_damped", "spooner_asym_damped",
               "spooner_scaled", "delta_portfolio_value"]
