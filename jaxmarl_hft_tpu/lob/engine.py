@@ -628,23 +628,35 @@ def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
 def get_cancel_msgs(bookside: jax.Array, agent_id, size: int, side,
                     cancel_time, cancel_time_ns) -> jax.Array:
     """Fixed-size array of type-2 cancels for all of a trader's standing
-    orders (reference: getCancelMsgs :827-853). A zero pad row is appended so
-    a fill index of -1 yields an all-zero (no-op) message."""
-    padded = jnp.concatenate(
-        [bookside, jnp.zeros((1, 6), dtype=I32)], axis=0)
-    match = padded[:, OrderCol.TID] == agent_id
-    idx = jnp.where(match, size=size, fill_value=-1)[0]
-    rows = padded[idx]
-    n = idx.shape[0]
+    orders (reference: getCancelMsgs :827-853; rows past the trader's order
+    count are all-zero no-op messages).
+
+    The first-`size`-matches selection is a one-hot compare/reduce — the
+    direct translation (`jnp.where(size=...)` + row gather) lowers to a
+    serialised gather on TPU. occurrence index r selects the r-th matching
+    row: W[r, j] = match_j & (cumsum(match)_j - 1 == r); rows with no r-th
+    match sum the picked fields to zero, reproducing the reference's zero
+    pad row (type/side/time are filled on pad rows too, exactly as the
+    reference does)."""
+    match = bookside[:, OrderCol.TID] == agent_id
+    pos = jnp.cumsum(match) - 1                           # (n,)
+    W = (match[None, :]
+         & (pos[None, :] == jax.lax.broadcasted_iota(I32, (size, 1), 0)))
+
+    def pick(col):
+        return jnp.sum(jnp.where(W, bookside[:, col][None, :], 0),
+                       axis=1).astype(I32)
+
+    full = jnp.full((size,), 1, I32)
     out = jnp.stack([
-        jnp.full((n,), 2, dtype=I32),
-        jnp.full((n,), side, dtype=I32),
-        rows[:, OrderCol.QUANT],
-        rows[:, OrderCol.PRICE],
-        rows[:, OrderCol.OID],
-        rows[:, OrderCol.TID],
-        jnp.full((n,), cancel_time, dtype=I32),
-        jnp.full((n,), cancel_time_ns, dtype=I32),
+        full * 2,
+        full * side,
+        pick(OrderCol.QUANT),
+        pick(OrderCol.PRICE),
+        pick(OrderCol.OID),
+        pick(OrderCol.TID),
+        full * cancel_time,
+        full * cancel_time_ns,
     ], axis=1)
     return out
 
