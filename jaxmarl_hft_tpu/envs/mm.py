@@ -47,28 +47,35 @@ def filter_messages(action_msgs: jax.Array, cnl_msgs: jax.Array
 
     Only simplifies when the new action size <= the cancelled size; larger new
     orders still cancel the old order entirely to avoid split orders.
+
+    The occurrence-rank pairing (k-th price-matched action row nets against
+    the k-th price-matched cancel row) is built from one-hot compare/reduce
+    matrices: the reference's compaction (`jnp.where(size=...)` + row
+    gathers + argsort-rank scatter) lowers to serialised gathers on TPU that
+    act as fusion barriers across the whole env step (see get_cancel_msgs).
     """
-    from ..utils.tree import rank_rev
-
-    @partial(jax.vmap, in_axes=(0, None))
-    def p_in_cnl(p, prices_cnl):
-        return jnp.where((prices_cnl == p) & (p != 0), True, False)
-
-    res = p_in_cnl(action_msgs[:, 3], cnl_msgs[:, 3])
+    prices_a, prices_c = action_msgs[:, 3], cnl_msgs[:, 3]
+    res = (prices_c[None, :] == prices_a[:, None]) & (prices_a != 0)[:, None]
     a_mask, c_mask = jnp.any(res, axis=1), jnp.any(res, axis=0)
 
-    a_i = jnp.where(a_mask, size=a_mask.shape[0], fill_value=-1)[0]
-    a = jnp.where(a_i == -1, 0, action_msgs[a_i][:, 2])
-    c_i = jnp.where(c_mask, size=c_mask.shape[0], fill_value=-1)[0]
-    c = jnp.where(c_i == -1, 0, cnl_msgs[c_i][:, 2])
+    n = a_mask.shape[0]                                 # pairing slots
+    occ_a = (jnp.cumsum(a_mask) - 1)[None, :]
+    occ_c = (jnp.cumsum(c_mask) - 1)[None, :]
+    Wa = a_mask[None, :] & (occ_a == jax.lax.broadcasted_iota(
+        I32, (n, a_mask.shape[0]), 0))                  # (k, action row)
+    Wc = c_mask[None, :] & (occ_c == jax.lax.broadcasted_iota(
+        I32, (n, c_mask.shape[0]), 0))                  # (k, cancel row)
 
-    rel_cnl = (c >= a) * a
-    action_msgs = action_msgs.at[:, 2].set(
-        action_msgs[:, 2] - rel_cnl[rank_rev(a_mask)])
-    action_msgs = jnp.where((action_msgs[:, 2] == 0).T, 0,
-                            action_msgs.T).T
-    cnl_msgs = cnl_msgs.at[:, 2].set(
-        cnl_msgs[:, 2] - rel_cnl[rank_rev(c_mask)])
+    a = jnp.sum(jnp.where(Wa, action_msgs[:, 2][None, :], 0), axis=1)
+    c = jnp.sum(jnp.where(Wc, cnl_msgs[:, 2][None, :], 0), axis=1)
+    rel_cnl = (c >= a) * a                              # (k,)
+
+    back_a = jnp.sum(jnp.where(Wa, rel_cnl[:, None], 0), axis=0)
+    back_c = jnp.sum(jnp.where(Wc, rel_cnl[:, None], 0), axis=0)
+    action_msgs = action_msgs.at[:, 2].set(action_msgs[:, 2] - back_a)
+    action_msgs = jnp.where((action_msgs[:, 2] == 0)[:, None], 0,
+                            action_msgs)
+    cnl_msgs = cnl_msgs.at[:, 2].set(cnl_msgs[:, 2] - back_c)
     return action_msgs, cnl_msgs
 
 
