@@ -5,6 +5,12 @@ PY ?= python
 test:
 	$(PY) -m pytest tests/ -q
 
+# build the native C++ CSV parser shared library (also auto-built on first
+# use by jaxmarl_hft_tpu/data/native_csv.py)
+native:
+	$(PY) -c "from jaxmarl_hft_tpu.data import native_csv; \
+		print(native_csv.build(force=True))"
+
 test-fast:
 	$(PY) -m pytest tests/test_engine_golden.py tests/test_book_and_misc.py \
 		tests/test_data_and_config.py -q
@@ -36,5 +42,5 @@ plot:
 scaling:
 	$(PY) scripts/scaling_test.py
 
-.PHONY: test test-fast bench speed-test ppo-2player ppo-exec ppo-mm \
+.PHONY: test native test-fast bench speed-test ppo-2player ppo-exec ppo-mm \
 	baseline-eval plot scaling

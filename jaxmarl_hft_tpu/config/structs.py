@@ -45,6 +45,11 @@ class LobConfig:
     # shrinks the per-message trade-write matrix from (nTrades, nOrders) to
     # (cap, nOrders). Realistic flow rarely exceeds a handful.
     trade_capture_cap: int = 0
+    # lax.scan unroll factor for the message scan (semantics-preserving).
+    # Measured neutral on v5e at production shapes (scripts/probe_unroll.py:
+    # 22.46/22.30/22.29 ms for unroll 1/2/4 at 4096x112) — XLA already keeps
+    # the carry planes resident; kept as a knob for other topologies.
+    scan_unroll: int = 1
 
 
 @dataclass(frozen=True)

@@ -96,8 +96,10 @@ def preprocess_day(message_df, book_df, day_start: int, day_end: int
     """One day of raw LOBSTER CSVs -> (messages (N,8) int32, books (N, 4L)).
 
     Raw message columns: [time(float s), type, order_id, qty, price, dir].
+    Accepts pandas DataFrames or plain ndarrays (native parser path).
     """
-    raw = message_df.to_numpy()
+    raw = (message_df.to_numpy() if hasattr(message_df, "to_numpy")
+           else np.asarray(message_df))
     time_f = raw[:, 0].astype(np.float64)
     t_s = time_f.astype(np.int64)
     t_ns = ((time_f - t_s) * 1_000_000_000).astype(np.int64)
@@ -111,7 +113,8 @@ def preprocess_day(message_df, book_df, day_start: int, day_end: int
     mask = (t_s >= day_start) & (t_s <= day_end) & np.isin(typ, (1, 2, 3, 4))
     work = np.stack([t_s, t_ns, typ, oid, qty, price, direction],
                     axis=1)[mask]
-    books = book_df.to_numpy()[mask]
+    books = (book_df.to_numpy() if hasattr(book_df, "to_numpy")
+             else np.asarray(book_df))[mask]
 
     merged = merge_market_orders(work)
     # books must be filtered identically: rebuild the keep-mask by re-running
@@ -193,7 +196,13 @@ class LobsterLoader:
                  ep_type: str = "fixed_steps", episode_time: int = 64,
                  window_resolution: int = 64, n_data_msg_per_step: int = 100,
                  day_start: int = 34200, day_end: int = 57600,
-                 stock: str = "AMZN", time_period: str = "2024"):
+                 stock: str = "AMZN", time_period: str = "2024",
+                 use_native: str | bool = "auto"):
+        # use_native: True / False / "auto" — parse CSVs with the C++ parser
+        # (data/native/lobster_csv.cpp, multithreaded) instead of pandas;
+        # "auto" uses it when a toolchain is available. Output arrays are
+        # identical either way (see native_csv.py).
+        self.use_native = use_native
         self.data_path = data_path
         self.cache_path = cache_path
         self.n_levels = n_levels
@@ -217,6 +226,17 @@ class LobsterLoader:
         self.message_files.sort()
         self.book_files.sort()
 
+    def _resolve_native(self) -> bool:
+        if self.use_native is False:
+            return False
+        from . import native_csv
+        if self.use_native is True:
+            if not native_csv.available():
+                raise RuntimeError("use_native=True but the native CSV "
+                                   "parser could not be built")
+            return True
+        return native_csv.available()
+
     def _cache_file(self, suffix: str) -> str:
         d = os.path.join(self.cache_path, "saved_npz")
         os.makedirs(d, exist_ok=True)
@@ -232,13 +252,21 @@ class LobsterLoader:
             raise FileNotFoundError(
                 f"No LOBSTER csv files under {self.data_path}; "
                 "set synthetic_data=True for generated data.")
-        import pandas as pd
+        native = self._resolve_native()
+        if not native:
+            import pandas as pd
         all_msgs, all_starts, all_ends, all_obs = [], [], [], []
         offset = 0
         for mf, bf in zip(self.message_files, self.book_files):
-            mdf = pd.read_csv(mf, usecols=range(6), header=None, engine="c",
-                              na_filter=False)
-            bdf = pd.read_csv(bf, header=None, engine="c", na_filter=False)
+            if native:
+                from . import native_csv
+                mdf = native_csv.parse_messages(mf)
+                bdf = native_csv.parse_book(bf)
+            else:
+                mdf = pd.read_csv(mf, usecols=range(6), header=None,
+                                  engine="c", na_filter=False)
+                bdf = pd.read_csv(bf, header=None, engine="c",
+                                  na_filter=False)
             msgs, books = preprocess_day(mdf, bdf, self.day_start,
                                          self.day_end)
             starts, ends = window_indices(

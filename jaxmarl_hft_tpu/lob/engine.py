@@ -409,6 +409,11 @@ def _branch_index(t, s_eff):
             + ((s_eff == 0) & (t == 0)) * 4)
 
 
+def _unroll(cfg):
+    u = getattr(cfg, "scan_unroll", 1)
+    return u if u and u > 1 else 1
+
+
 def _trade_cap(cfg):
     cap = getattr(cfg, "trade_capture_cap", 0)
     return cap if cap and cap > 0 else cfg.nTrades
@@ -577,7 +582,8 @@ def scan_messages(cfg, key, msgs, book_state):
         k, m = xs
         return _apply_message_soa(cfg, state, k, m)
 
-    (a, b, _, _), recs = jax.lax.scan(step, soa, (keys, msgs))
+    (a, b, _, _), recs = jax.lax.scan(step, soa, (keys, msgs),
+                                      unroll=_unroll(cfg))
     trades = _finalize_trades(cfg, _trades_to_soa(book_state[2]), recs)
     return (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(trades))
 
@@ -593,8 +599,8 @@ def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
         new, rec = _apply_message_soa(cfg, state, k, m)
         return new, (rec, new[0], new[1])
 
-    (a, b, _, _), (recs, asks_h, bids_h) = jax.lax.scan(step, soa,
-                                                        (keys, msgs))
+    (a, b, _, _), (recs, asks_h, bids_h) = jax.lax.scan(
+        step, soa, (keys, msgs), unroll=_unroll(cfg))
     trades = _finalize_trades(cfg, _trades_to_soa(book_state[2]), recs)
     asks_hist = jnp.stack([x[-n_steps:] for x in asks_h], axis=2)
     bids_hist = jnp.stack([x[-n_steps:] for x in bids_h], axis=2)
@@ -615,7 +621,7 @@ def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
         return new, (rec, best_ask, best_bid)
 
     (a, b, _, _), (recs, asks_hist, bids_hist) = jax.lax.scan(
-        step, soa, (keys, msgs))
+        step, soa, (keys, msgs), unroll=_unroll(cfg))
     trades = _finalize_trades(cfg, _trades_to_soa(book_state[2]), recs)
     last = (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(trades))
     return last, (asks_hist[-n_steps:], bids_hist[-n_steps:])
