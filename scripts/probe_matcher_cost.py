@@ -58,8 +58,10 @@ def main():
 
     timed("baseline (full matcher)", cfg, keys, msgs, state_b)
 
-    # Variant A: skip the (n,n) better/S computation (S = 0)
-    def match_noS(cap, opp, opp_rank, qtm, price, opp_is_ask):
+    # Variant A: ablate the prefix-quantity term (S = 0). With the cumq
+    # matcher this no longer removes an (n,n) matrix — kept to measure the
+    # residual cost of the carried-plane arithmetic.
+    def match_noS(cap, opp, opp_rank, opp_cumq, qtm, price, opp_is_ask):
         p, q, oid, tid, ts, tn = opp
         n = p.shape[0]
         valid = p != -1
@@ -89,13 +91,14 @@ def main():
                         (p, new_q, oid, tid, ts, tn))
         survivor = valid & ~dead
         new_rank = jnp.where(survivor, opp_rank - d, n).astype(I32)
-        return new_opp, new_rank, qtm_left, fills, last_fill, k
+        new_cumq = jnp.where(survivor, opp_cumq, 0)
+        return new_opp, new_rank, new_cumq, qtm_left, fills, last_fill, k
 
     engine._match_soa = match_noS
     timed("A: no (n,n) better/S matrix", cfg, keys, msgs, state_b)
 
     # Variant B: additionally no compressed-fill extraction (MC matrix)
-    def match_minimal(cap, opp, opp_rank, qtm, price, opp_is_ask):
+    def match_minimal(cap, opp, opp_rank, opp_cumq, qtm, price, opp_is_ask):
         p, q, oid, tid, ts, tn = opp
         n = p.shape[0]
         valid = p != -1
@@ -113,15 +116,16 @@ def main():
                         (p, new_q, oid, tid, ts, tn))
         d = jnp.sum(dead & valid).astype(I32)
         new_rank = jnp.where(valid & ~dead, opp_rank - d, n).astype(I32)
-        return new_opp, new_rank, qtm_left, fills, last_fill, k
+        new_cumq = jnp.where(valid & ~dead, opp_cumq, 0)
+        return new_opp, new_rank, new_cumq, qtm_left, fills, last_fill, k
 
     engine._match_soa = match_minimal
     timed("B: A + no fill extraction", cfg, keys, msgs, state_b)
 
     # Variant C: matcher is identity (isolates add/cancel/scan cost)
-    def match_none(cap, opp, opp_rank, qtm, price, opp_is_ask):
+    def match_none(cap, opp, opp_rank, opp_cumq, qtm, price, opp_is_ask):
         z = jnp.zeros((cap,), I32)
-        return (opp, opp_rank, qtm,
+        return (opp, opp_rank, opp_cumq, qtm,
                 (z, z, z, z), (jnp.int32(0),) * 4, jnp.int32(0))
 
     engine._match_soa = match_none

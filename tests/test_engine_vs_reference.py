@@ -252,3 +252,40 @@ def test_type4_interpretations_equivalence(t4):
     msgs = np.concatenate([init, stream], axis=0)
     ours, theirs = _run_both(cfg, msgs)
     _assert_state_equal(ours, theirs)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_carried_planes_stay_consistent(seed):
+    """The incrementally-maintained rank and prefix-quantity (cumq) planes
+    must equal a from-scratch recomputation after every message of a long
+    random stream (guards the O(n) matcher's invariant maintenance through
+    adds, cancels incl. fallbacks, matches, evictions, and the full-book
+    clobber quirk)."""
+    rng = np.random.default_rng(100 + seed)
+    init = init_book_messages(rng)
+    msgs = jnp.asarray(np.concatenate(
+        [init, random_message_stream(rng, 200)], axis=0), jnp.int32)
+    cfg = CFG
+    state = engine._init_soa_state(_fresh_state(cfg))
+    keys = jax.random.split(jax.random.PRNGKey(seed), msgs.shape[0])
+
+    @jax.jit
+    def step(state, k, m):
+        new, _ = engine._apply_message_soa(cfg, state, k, m)
+        return new
+
+    for i in range(msgs.shape[0]):
+        state = step(state, keys[i], msgs[i])
+        asks, bids, rank_a, rank_b, cumq_a, cumq_b = state
+        ra = engine._compute_rank(asks, side_is_bid=False)
+        rb = engine._compute_rank(bids, side_is_bid=True)
+        np.testing.assert_array_equal(np.asarray(rank_a), np.asarray(ra),
+                                      err_msg=f"ask rank drift at msg {i}")
+        np.testing.assert_array_equal(np.asarray(rank_b), np.asarray(rb),
+                                      err_msg=f"bid rank drift at msg {i}")
+        ca = engine._compute_cumq(asks, ra)
+        cb = engine._compute_cumq(bids, rb)
+        np.testing.assert_array_equal(np.asarray(cumq_a), np.asarray(ca),
+                                      err_msg=f"ask cumq drift at msg {i}")
+        np.testing.assert_array_equal(np.asarray(cumq_b), np.asarray(cb),
+                                      err_msg=f"bid cumq drift at msg {i}")
