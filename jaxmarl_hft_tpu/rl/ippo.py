@@ -63,6 +63,9 @@ def default_train_config(**overrides) -> Dict[str, Any]:
         "CLIP_EPS": 0.2,
         "SCALE_CLIP_EPS": False,
         "AUTOREGRESSIVE": False,
+        # "bfloat16" runs network matmuls on the MXU in bf16 (params, GRU
+        # carry, logits, values stay f32); "float32" is reference-exact
+        "NETWORK_DTYPE": "float32",
         # per-agent-type lists
         "LR": [2.5e-4, 2.5e-4],
         "GAMMA": [0.99, 0.99],
@@ -320,8 +323,12 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
                 return (train_state, init_hstate, traj_b, adv, tgt, rng), \
                     total_loss
 
+            # the loss reads obs/done/action/value/log_prob only — strip the
+            # (large) info tree before the per-epoch permutation gather so
+            # ~25 (T, B) info arrays aren't shuffled through every minibatch
             update_state = (train_states[i], initial_hstates[i],
-                            traj_batch[i], advantages[i], targets[i], rng)
+                            traj_batch[i]._replace(info=None),
+                            advantages[i], targets[i], rng)
             update_state, loss_info = jax.lax.scan(
                 _update_epoch, update_state, None, config["UPDATE_EPOCHS"])
             train_states[i] = update_state[0]
@@ -355,6 +362,30 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
 
     update_step_jit = jax.jit(lambda urs: _update_step(urs, None))
 
+    # Chunked update loop: lax.scan over K update steps inside ONE jitted
+    # program. The reference's outer Python loop (ippo_rnn_JAXMARL.py:1099)
+    # costs one host round-trip per update to fetch metrics — through a
+    # remote-TPU tunnel that is a flat ~60 ms, ~7% of an update. Scanning K
+    # updates amortises it to one fetch per chunk; the math is the identical
+    # _update_step sequence, so results are bit-equal to the looped path
+    # (tests/test_ippo.py::test_chunked_updates_match_looped).
+    _chunk_jits: Dict[int, Any] = {}
+
+    def _canon_carry(update_runner_state):
+        """Match the container types _update_step outputs (train_states
+        tuple, the rest lists, update_steps an int32 array) so the carry
+        pytree structure is scan-stable; init_state hands back lists."""
+        (ts, es, obs, dn, hs, rng), us = update_runner_state
+        return ((tuple(ts), es, list(obs), list(dn), list(hs), rng),
+                jnp.asarray(us, jnp.int32))
+
+    def _chunk_jit(n: int):
+        if n not in _chunk_jits:
+            _chunk_jits[n] = jax.jit(
+                lambda urs, n=n: jax.lax.scan(_update_step, urs, None,
+                                              length=n))
+        return _chunk_jits[n]
+
     def _eval_rollout(eval_env, train_states, rng, n_envs, n_steps):
         """Greedy-policy rollout on a held-out env; returns per-type mean
         rewards (reference: the CALC_EVAL on-device eval scan,
@@ -375,7 +406,7 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
     def train(rng, *, num_updates=None, log_fn=None, checkpoint_manager=None,
               eval_env=None, eval_every: int = 10, eval_envs: int = 8,
               eval_steps: int = 32, resume_from=None,
-              full_checkpoints: bool = False):
+              full_checkpoints: bool = False, chunk: int = 1):
         """Outer host loop over jitted update steps (reference :1099-1133);
         optional periodic held-out evaluation when `eval_env` is given.
 
@@ -384,7 +415,12 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
         state, env states, hidden states, and PRNG all restored; the
         reference can only restore params for evaluation.
         `full_checkpoints=True` saves such resumable checkpoints (the
-        eval-compatible 'model' key is included either way)."""
+        eval-compatible 'model' key is included either way).
+
+        `chunk > 1` scans that many update steps inside one jitted program
+        (host sync, logging fetch, eval, and checkpointing then happen at
+        chunk boundaries; per-update metrics are still logged from the
+        stacked chunk output). Bit-identical to chunk=1."""
         num_updates = num_updates or config["NUM_UPDATES"]
         runner_state = init_state(rng)
         start_step = 0
@@ -395,13 +431,19 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
         if mesh is not None:
             from ..parallel.mesh import shard_runner_state
             runner_state = shard_runner_state(runner_state, mesh)
-        update_runner_state = (runner_state, start_step)
+        # Canonicalise once: update_steps as a committed int32 array (a
+        # Python int here makes call #2 retrace the whole update program —
+        # int-weak-typed carry in, array out) and container types matching
+        # _update_step's output so the chunked scan carry is structure-stable.
+        update_runner_state = _canon_carry((runner_state, start_step))
         all_metrics = []
-        for step in range(start_step, num_updates):
-            update_runner_state, metrics = update_step_jit(
-                update_runner_state)
-            metrics = jax.device_get(metrics)
-            if eval_env is not None and (step + 1) % eval_every == 0:
+
+        def _post_update(step, metrics, is_boundary):
+            """Per-update host work; eval/checkpoint only at boundaries
+            (every update when chunk=1)."""
+            nonlocal rng
+            if (eval_env is not None and is_boundary
+                    and (step + 1) % eval_every == 0):
                 rng, ek = jax.random.split(rng)
                 metrics.update(_eval_rollout(
                     eval_env, update_runner_state[0][0], ek, eval_envs,
@@ -409,7 +451,7 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
             all_metrics.append(metrics)
             if log_fn is not None:
                 log_fn(step, metrics)
-            if checkpoint_manager is not None:
+            if checkpoint_manager is not None and is_boundary:
                 if full_checkpoints:
                     from .checkpoint import save_train_checkpoint
                     save_train_checkpoint(checkpoint_manager, step,
@@ -418,6 +460,23 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
                     from .checkpoint import save_checkpoint
                     save_checkpoint(checkpoint_manager, step,
                                     update_runner_state[0][0], metrics)
+
+        step = start_step
+        while step < num_updates:
+            n = min(max(int(chunk), 1), num_updates - step)
+            if n == 1:
+                update_runner_state, metrics = update_step_jit(
+                    update_runner_state)
+                _post_update(step, jax.device_get(metrics), True)
+            else:
+                update_runner_state, stacked = _chunk_jit(n)(
+                    update_runner_state)
+                stacked = jax.device_get(stacked)
+                for j in range(n):
+                    _post_update(step + j,
+                                 jax.tree.map(lambda x: x[j], stacked),
+                                 j == n - 1)
+            step += n
         return {"runner_state": update_runner_state[0],
                 "metrics": all_metrics, "config": config}
 

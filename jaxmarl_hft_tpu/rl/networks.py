@@ -2,11 +2,16 @@
 
 Parity reference: gymnax_exchange/jaxrl/MARL/ippo_rnn_JAXMARL.py:53-256
 (ScannedRNN / ActorCriticRNN / Single- & Multi-head outputs).
+
+TPU note: set config["NETWORK_DTYPE"] = "bfloat16" to run all Dense/GRU
+matmuls in bf16 on the MXU (parameters, the GRU carry, logits, and values
+stay float32 — bf16 is the *compute* dtype only). Default float32 matches
+the reference bit-for-bit.
 """
 from __future__ import annotations
 
 import functools
-from typing import Dict, Sequence, Union
+from typing import Dict, Optional, Sequence, Union
 
 import flax.linen as nn
 import jax
@@ -17,9 +22,16 @@ from .distributions import (AutoregressiveMultiCategorical, Categorical,
                             MultiCategorical)
 
 
+def _compute_dtype(config: Dict):
+    name = (config or {}).get("NETWORK_DTYPE", "float32")
+    return None if name in (None, "float32", "f32") else jnp.dtype(name)
+
+
 class ScannedRNN(nn.Module):
     """GRU scanned over time with hidden reset on done flags
-    (reference :53-78)."""
+    (reference :53-78). The carry is stored float32; `dtype` only sets the
+    GRUCell's matmul compute dtype."""
+    dtype: Optional[jnp.dtype] = None
 
     @functools.partial(
         nn.scan,
@@ -36,8 +48,9 @@ class ScannedRNN(nn.Module):
             resets[:, jnp.newaxis],
             self.initialize_carry(*rnn_state.shape),
             rnn_state)
-        new_rnn_state, y = nn.GRUCell(features=ins.shape[1])(rnn_state, ins)
-        return new_rnn_state, y
+        new_rnn_state, y = nn.GRUCell(features=ins.shape[1],
+                                      dtype=self.dtype)(rnn_state, ins)
+        return new_rnn_state.astype(jnp.float32), y
 
     @staticmethod
     def initialize_carry(batch_size, hidden_size):
@@ -54,8 +67,9 @@ class SingleActionOutput(nn.Module):
     @nn.compact
     def __call__(self, x):
         logits = nn.Dense(self.action_dim, kernel_init=orthogonal(0.01),
-                          bias_init=constant(0.0))(x)
-        return Categorical(logits=logits)
+                          bias_init=constant(0.0),
+                          dtype=_compute_dtype(self.config))(x)
+        return Categorical(logits=logits.astype(jnp.float32))
 
 
 class MultiActionOutputIndependent(nn.Module):
@@ -67,7 +81,9 @@ class MultiActionOutputIndependent(nn.Module):
     def __call__(self, x):
         logits_list = [
             nn.Dense(dim, kernel_init=orthogonal(0.01),
-                     bias_init=constant(0.0))(x)
+                     bias_init=constant(0.0),
+                     dtype=_compute_dtype(self.config))(x)
+            .astype(jnp.float32)
             for dim in self.action_dims
         ]
         return MultiCategorical(logits_list)
@@ -135,24 +151,27 @@ class ActorCriticRNN(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, x):
+        dtype = _compute_dtype(self.config)
         obs, dones = x
         embedding = nn.Dense(self.config["FC_DIM_SIZE"],
                              kernel_init=orthogonal(jnp.sqrt(2)),
-                             bias_init=constant(0.0))(obs)
+                             bias_init=constant(0.0), dtype=dtype)(obs)
         embedding = nn.relu(embedding)
 
-        hidden, embedding = ScannedRNN()(hidden, (embedding, dones))
+        hidden, embedding = ScannedRNN(dtype=dtype)(hidden,
+                                                    (embedding, dones))
 
         critic = nn.Dense(self.config["FC_DIM_SIZE"],
                           kernel_init=orthogonal(2),
-                          bias_init=constant(0.0))(embedding)
+                          bias_init=constant(0.0), dtype=dtype)(embedding)
         critic = nn.relu(critic)
         critic = nn.Dense(1, kernel_init=orthogonal(1.0),
-                          bias_init=constant(0.0))(critic)
+                          bias_init=constant(0.0), dtype=dtype)(critic)
+        critic = critic.astype(jnp.float32)
 
         actor = nn.Dense(self.config["GRU_HIDDEN_DIM"],
                          kernel_init=orthogonal(2),
-                         bias_init=constant(0.0))(embedding)
+                         bias_init=constant(0.0), dtype=dtype)(embedding)
         actor = nn.relu(actor)
 
         action_dim = self.action_dim
@@ -163,8 +182,11 @@ class ActorCriticRNN(nn.Module):
             pi = SingleActionOutput(action_dim=action_dim,
                                     config=self.config)(actor)
         elif self.config.get("AUTOREGRESSIVE", False):
+            # the autoregressive head's params are plain f32 closures; keep
+            # its feature input f32 for consistent promotion
             pi = MultiActionOutputAutoregressive(
-                action_dims=action_dim, config=self.config)(actor)
+                action_dims=action_dim,
+                config=self.config)(actor.astype(jnp.float32))
         else:
             pi = MultiActionOutputIndependent(
                 action_dims=action_dim, config=self.config)(actor)

@@ -43,6 +43,14 @@ def main():
                     help="use synthetic data regardless of config")
     ap.add_argument("--mesh", type=int, default=None,
                     help="shard env batch over N devices")
+    ap.add_argument("--network-dtype", type=str, default=None,
+                    choices=["float32", "bfloat16"],
+                    help="network compute dtype (bfloat16 = MXU-native; "
+                         "params/logits/values stay float32)")
+    ap.add_argument("--chunk-updates", type=int, default=1,
+                    help="scan N update steps per jitted program (one host "
+                         "metrics fetch per chunk instead of per update; "
+                         "bit-identical math)")
     args = ap.parse_args()
 
     from jaxmarl_hft_tpu.config.io import load_config
@@ -117,6 +125,8 @@ def _run_one(args, ma_cfg, rl_overrides, tag):
 
     cfg = default_train_config(**rl_overrides)
     cfg["SEED"] = args.seed
+    if args.network_dtype:
+        cfg["NETWORK_DTYPE"] = args.network_dtype
     if args.num_envs:
         cfg["NUM_ENVS"] = args.num_envs
 
@@ -172,7 +182,8 @@ def _run_one(args, ma_cfg, rl_overrides, tag):
     out = train(jax.random.PRNGKey(cfg["SEED"]),
                 num_updates=args.num_updates, log_fn=log_fn,
                 checkpoint_manager=ckpt_mgr, full_checkpoints=full,
-                resume_from=ckpt_mgr if args.resume else None)
+                resume_from=ckpt_mgr if args.resume else None,
+                chunk=args.chunk_updates)
     elapsed = time.time() - t_start
     updates_run = (args.num_updates or cfg["NUM_UPDATES"]) \
         - (first_step[0] or 0)

@@ -53,6 +53,40 @@ def test_train_deterministic(env):
     np.testing.assert_allclose(l1, l2)
 
 
+def test_chunked_updates_match_looped(env):
+    """chunk>1 scans update steps inside one jitted program (one host fetch
+    per chunk); the math is the identical _update_step sequence, so losses
+    and final params match the per-update loop exactly."""
+    train = make_train(small_config(), env)
+    out1 = train(jax.random.PRNGKey(5), num_updates=4)
+    out2 = train(jax.random.PRNGKey(5), num_updates=4, chunk=3)  # 3 + 1
+    l1 = [m["loss"][0]["total_loss"] for m in out1["metrics"]]
+    l2 = [m["loss"][0]["total_loss"] for m in out2["metrics"]]
+    np.testing.assert_array_equal(l1, l2)
+    p1 = out1["runner_state"][0][0].params
+    p2 = out2["runner_state"][0][0].params
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), p1, p2)
+
+
+def test_train_bfloat16_compute(env):
+    """NETWORK_DTYPE=bfloat16 (MXU compute dtype; params/logits/values f32)
+    must train with finite losses and actually move the parameters."""
+    train = make_train(small_config(NETWORK_DTYPE="bfloat16"), env)
+    out = train(jax.random.PRNGKey(3), num_updates=2)
+    for m in out["metrics"]:
+        for loss in m["loss"]:
+            for v in loss.values():
+                assert np.isfinite(v), loss
+    ts0 = train.init_state(jax.random.PRNGKey(3))[0]
+    p_new = out["runner_state"][0][0].params
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         ts0[0].params, p_new)
+    assert max(jax.tree.leaves(diffs)) > 0
+    # parameters must remain f32 master copies
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(p_new))
+
+
 def test_train_sharded_matches_unsharded(env):
     """Data-parallel over the 8-device CPU mesh: same math as single-device
     (the batch is sharded, parameters replicated)."""
