@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 
 
-def build_env(n_data_msg=100, n_per_type=(1, 1), engine="exact"):
+def build_env(n_data_msg=100, n_per_type=(1, 1), engine="exact",
+              trade_capture_cap=16):
     from jaxmarl_hft_tpu.config.structs import (ExecConfig, MMConfig,
                                                 MultiAgentConfig, WorldConfig)
     from jaxmarl_hft_tpu.envs.marl import MarlEnv
@@ -27,7 +28,7 @@ def build_env(n_data_msg=100, n_per_type=(1, 1), engine="exact"):
         synthetic_data=True, synthetic_n_msgs=400_000, ep_type="fixed_steps",
         episode_time=64, start_resolution=64,
         n_data_msg_per_step=n_data_msg, use_pickles_for_init=False,
-        trade_capture_cap=16, matching_engine=engine)
+        trade_capture_cap=trade_capture_cap, matching_engine=engine)
     agents = (
         ("MarketMaking", MMConfig(action_space="fixed_quants",
                                   observation_space="basic",
@@ -119,6 +120,10 @@ def main():
     ap.add_argument("--n-data-msg", type=int, default=100)
     ap.add_argument("--engine", type=str, default="exact",
                     choices=["exact", "sorted", "pallas"])
+    ap.add_argument("--trade-cap", type=int, default=16,
+                    help="max fills recorded per single message (0 = "
+                         "nTrades, fully exact; 16 = production default, "
+                         "exact unless one message fills >16 orders)")
     args = ap.parse_args()
 
     if not _preflight():
@@ -129,7 +134,8 @@ def main():
             "vs_baseline": 0}))
         return
 
-    env = build_env(n_data_msg=args.n_data_msg, engine=args.engine)
+    env = build_env(n_data_msg=args.n_data_msg, engine=args.engine,
+                    trade_capture_cap=args.trade_cap)
     sps, compile_time, elapsed = bench_rollout(env, args.envs, args.steps)
     target_per_chip = 1_000_000 / 16  # BASELINE.md: 1M aggregate on v5e-16
     print(json.dumps({

@@ -40,9 +40,10 @@ def main():
     ap.add_argument("--envs", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--dtype", type=str, default="float32")
+    ap.add_argument("--trade-cap", type=int, default=16)
     args = ap.parse_args()
 
-    env = build_env(n_data_msg=100)
+    env = build_env(n_data_msg=100, trade_capture_cap=args.trade_cap)
     cfg = default_train_config(
         NUM_ENVS=args.envs, NUM_STEPS=args.steps,
         TOTAL_TIMESTEPS=args.envs * args.steps * 100,

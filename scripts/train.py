@@ -43,6 +43,10 @@ def main():
                     help="use synthetic data regardless of config")
     ap.add_argument("--mesh", type=int, default=None,
                     help="shard env batch over N devices")
+    ap.add_argument("--trade-cap", type=int, default=None,
+                    help="override world_config.trade_capture_cap (16 ~2x "
+                         "training throughput vs the exact default; exact "
+                         "unless one message fills >cap orders)")
     ap.add_argument("--network-dtype", type=str, default=None,
                     choices=["float32", "bfloat16"],
                     help="network compute dtype (bfloat16 = MXU-native; "
@@ -71,6 +75,12 @@ def main():
             world_config=replace_cfg(ma_cfg.world_config,
                                      synthetic_data=True,
                                      use_pickles_for_init=False),
+            agents=ma_cfg.agents,
+            number_of_agents_per_type=ma_cfg.number_of_agents_per_type)
+    if args.trade_cap is not None:
+        ma_cfg = MultiAgentConfig(
+            world_config=replace_cfg(ma_cfg.world_config,
+                                     trade_capture_cap=args.trade_cap),
             agents=ma_cfg.agents,
             number_of_agents_per_type=ma_cfg.number_of_agents_per_type)
 
