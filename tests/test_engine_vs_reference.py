@@ -217,6 +217,43 @@ def test_capped_trade_capture_on_normal_flow():
     _assert_state_equal(ours, theirs)
 
 
+def test_capped_trade_capture_overflow_contract():
+    """The truncation contract when a single message fills MORE than
+    trade_capture_cap orders (the one case where the cap is inexact): the
+    book sides and all later messages stay exact; only the overflowing
+    message's trade rows at fill index >= cap are left unwritten (-1
+    holes). This is what `--trade-cap 16` trades away for ~2.3x training
+    throughput (BASELINE.md)."""
+    cap = 8
+    cfg_cap = LobConfig(trade_capture_cap=cap)
+    cfg_exact = LobConfig()
+    # 20 one-lot asks at one price, then one bid lifting all of them (20
+    # fills > cap) and a follow-up small trade that must land exactly
+    msgs = [[1, -1, 1, 1000 + i % 3, 100 + i, 100 + i, 10, i]
+            for i in range(20)]
+    msgs.append([1, 1, 25, 1005, 500, 500, 11, 0])     # fills all 20
+    msgs.append([1, -1, 2, 1001, 600, 600, 12, 0])     # resting ask
+    msgs.append([1, 1, 2, 1001, 700, 700, 13, 0])      # clean 1-fill trade
+    msgs = np.asarray(msgs, dtype=np.int32)
+    ours_cap = engine.scan_messages(cfg_cap, jax.random.PRNGKey(0),
+                                    jnp.asarray(msgs), _fresh_state(cfg_cap))
+    ours_exact = engine.scan_messages(cfg_exact, jax.random.PRNGKey(0),
+                                      jnp.asarray(msgs),
+                                      _fresh_state(cfg_exact))
+    # books identical (matching math never depends on recording)
+    np.testing.assert_array_equal(np.asarray(ours_cap[0]),
+                                  np.asarray(ours_exact[0]))
+    np.testing.assert_array_equal(np.asarray(ours_cap[1]),
+                                  np.asarray(ours_exact[1]))
+    t_cap, t_exact = np.asarray(ours_cap[2]), np.asarray(ours_exact[2])
+    # first `cap` fills of the big message exact; rows cap..19 are holes
+    np.testing.assert_array_equal(t_cap[:cap], t_exact[:cap])
+    assert (t_cap[cap:20] == -1).all()
+    assert (t_exact[cap:20, 0] != -1).all()
+    # the follow-up trade (global fill index 20) still lands exactly
+    np.testing.assert_array_equal(t_cap[20], t_exact[20])
+
+
 @pytest.mark.parametrize("mode", [0, 1, 2, 3])
 def test_cancel_modes_equivalence(mode):
     """All four CancelMode fallbacks, incl. the PRNG-driven random-order
