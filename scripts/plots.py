@@ -68,6 +68,52 @@ def plot_combination_grid(results_path: str, out: str):
     print(f"wrote {out}")
 
 
+def plot_triangular(results_path: str, out: str):
+    """2x2 Learned/Baseline matrix with triangular split cells — lower-left
+    triangle colored/labeled by the first type's (MM) mean reward, upper
+    right by the second's (Exec) (reference: simple_triangular_plot.py).
+    Requires exactly two agent types."""
+    results = json.load(open(results_path))
+    n_types = len(next(iter(results.values()))["mean_reward_per_type"])
+    if n_types != 2:
+        raise SystemExit("triangular plot needs exactly 2 agent types")
+    tags = ["L", "B"]
+    r0 = np.array([[results[a + b]["mean_reward_per_type"][0]
+                    for b in tags] for a in tags])
+    r1 = np.array([[results[a + b]["mean_reward_per_type"][1]
+                    for b in tags] for a in tags])
+    fig, ax = plt.subplots(figsize=(6, 6))
+    norm0 = plt.Normalize(r0.min(), r0.max())
+    norm1 = plt.Normalize(r1.min(), r1.max())
+    cm0, cm1 = plt.get_cmap("Blues"), plt.get_cmap("Oranges")
+    for i in range(2):
+        for j in range(2):
+            x, y = j, 1 - i
+            lower = plt.Polygon([(x, y), (x + 1, y), (x, y + 1)],
+                                facecolor=cm0(norm0(r0[i, j])),
+                                edgecolor="k")
+            upper = plt.Polygon([(x + 1, y), (x + 1, y + 1), (x, y + 1)],
+                                facecolor=cm1(norm1(r1[i, j])),
+                                edgecolor="k")
+            ax.add_patch(lower)
+            ax.add_patch(upper)
+            ax.text(x + 0.3, y + 0.3, f"{r0[i, j]:.2f}", ha="center",
+                    va="center", fontsize=10)
+            ax.text(x + 0.7, y + 0.7, f"{r1[i, j]:.2f}", ha="center",
+                    va="center", fontsize=10)
+    ax.set_xlim(0, 2)
+    ax.set_ylim(0, 2)
+    ax.set_xticks([0.5, 1.5])
+    ax.set_xticklabels([f"type1 {t}" for t in tags])
+    ax.set_yticks([0.5, 1.5])
+    ax.set_yticklabels([f"type0 {t}" for t in reversed(tags)])
+    ax.set_title("mean reward: type0 (lower-left) / type1 (upper-right)")
+    ax.set_aspect("equal")
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print(f"wrote {out}")
+
+
 def plot_episode(traj_path: str, out: str, env_idx: int = 0):
     """Per-step reward traces from a pickled trajectory
     (reference: plotting_episodes.py)."""
@@ -105,11 +151,16 @@ def main():
     p3 = sub.add_parser("episode")
     p3.add_argument("traj"); p3.add_argument("--out", default="episode.png")
     p3.add_argument("--env", type=int, default=0)
+    p4 = sub.add_parser("triangular")
+    p4.add_argument("results")
+    p4.add_argument("--out", default="triangular.png")
     args = ap.parse_args()
     if args.cmd == "train-log":
         plot_training_log(args.log, args.out)
     elif args.cmd == "combos":
         plot_combination_grid(args.results, args.out)
+    elif args.cmd == "triangular":
+        plot_triangular(args.results, args.out)
     else:
         plot_episode(args.traj, args.out, args.env)
 
