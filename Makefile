@@ -42,5 +42,10 @@ plot:
 scaling:
 	$(PY) scripts/scaling_test.py
 
+# full trainer under a real 2-process jax.distributed mesh (CPU/Gloo),
+# checked bit-identical to single-process (the TPU-pod DCN code path)
+multihost-smoke:
+	$(PY) scripts/multihost_smoke.py --nprocs 2 --devices-per-proc 4
+
 .PHONY: test native test-fast bench speed-test ppo-2player ppo-exec ppo-mm \
-	baseline-eval plot scaling
+	baseline-eval plot scaling multihost-smoke
