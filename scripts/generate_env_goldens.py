@@ -3,12 +3,12 @@
 env stack (marl_env.py:211-709 and below), so end-to-end bit-equivalence is
 checkable without the reference mount (tests/test_env_golden.py).
 
-Protocol mirrors tests/test_env_vs_reference_live.py::test_episode_bit_equal
-exactly: synthetic LOBSTER CSVs (tests/reference_env.py:write_lobster_csvs,
-fixed seed) -> reference MARLEnv -> reset(PRNGKey(42)) -> up to 3 episodes of
-steps with rng(7) random actions and fold_in(PRNGKey(100), step) step keys.
-Recorded per step: every WorldState field, rewards, obs, dones, and agent
-scalars.
+Protocol mirrors tests/test_env_vs_reference_live.py::test_episode_bit_equal:
+synthetic LOBSTER CSVs (tests/reference_env.py:write_lobster_csvs, fixed
+seed) -> reference MARLEnv -> reset(PRNGKey(42)) -> steps with rng(7) random
+actions and fold_in(PRNGKey(100), step) step keys, until done. Recorded per
+step: every WorldState field, rewards, obs, dones, and the actions (a
+protocol-drift guard for the replaying test).
 
 Run (requires the reference at /root/reference or $REFERENCE_PATH):
     JAX_PLATFORMS=cpu python scripts/generate_env_goldens.py
@@ -32,29 +32,54 @@ except Exception:
 import jax.numpy as jnp
 import numpy as np
 
-from reference_env import (make_reference_env, reference_available,
+from reference_env import (import_reference_env, reference_available,
                            write_lobster_csvs)
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests", "golden")
 
-# One golden per scenario; the test rebuilds OUR env from the same dict.
+# One golden per scenario. Each agent entry: (registered name, config kind
+# "MM"|"Exec", override dict, n_actions, n_instances). The test rebuilds OUR
+# env from this same table (tests/test_env_golden.py::SCENARIOS must match).
 SCENARIOS = {
     "env_golden_2p": dict(
         csv_seed=3, episode_steps=8, n_data_msg=10,
-        mm=dict(action_space="fixed_quants", observation_space="basic",
-                fixed_quant_value=1),
-        ex=dict(action_space="fixed_quants_complex",
-                observation_space="engineered", task="sell", task_size=100),
-        mm_n_actions=10, ex_n_actions=13),
+        agents=[
+            ("MarketMaking", "MM",
+             dict(action_space="fixed_quants", observation_space="basic",
+                  fixed_quant_value=1), 10, 1),
+            ("Execution", "Exec",
+             dict(action_space="fixed_quants_complex",
+                  observation_space="engineered", task="sell",
+                  task_size=100), 13, 1),
+        ]),
     "env_golden_2p_alt": dict(
         csv_seed=11, episode_steps=6, n_data_msg=20,
-        mm=dict(action_space="spread_skew", observation_space="engineered",
-                reward_function="portfolio_value"),
-        ex=dict(action_space="fixed_quants_1msg",
-                observation_space="basic", task="buy", task_size=200,
-                reward_function="finish_fast"),
-        mm_n_actions=6, ex_n_actions=5),
+        agents=[
+            ("MarketMaking", "MM",
+             dict(action_space="spread_skew", observation_space="engineered",
+                  reward_function="portfolio_value"), 6, 1),
+            ("Execution", "Exec",
+             dict(action_space="fixed_quants_1msg", observation_space="basic",
+                  task="buy", task_size=200,
+                  reward_function="finish_fast"), 5, 1),
+        ]),
+    # three heterogeneous types, multiple instances of the middle one
+    "env_golden_3type": dict(
+        csv_seed=13, episode_steps=4, n_data_msg=10,
+        agents=[
+            ("MarketMaking", "MM",
+             dict(action_space="fixed_quants", observation_space="basic",
+                  fixed_quant_value=2), 10, 1),
+            ("Directional", "MM",
+             dict(action_space="directional_trading",
+                  observation_space="basic", short_name="DIR",
+                  fixed_quant_value=3), 3, 2),
+            ("Execution", "Exec",
+             dict(action_space="fixed_quants_complex",
+                  observation_space="engineered", task="sell",
+                  task_size=60), 13, 1),
+        ]),
 }
 
 
@@ -69,7 +94,20 @@ def _world_fields(ws):
     }
 
 
-def record_episode(env, params, n_types):
+def draw_actions(rng, agents):
+    """One action per agent type; scalar when the type has one instance
+    (matching the reference trainer's squeezed action layout)."""
+    acts = []
+    for _, _, _, n_actions, n_inst in agents:
+        if n_inst == 1:
+            acts.append(jnp.asarray(rng.integers(0, n_actions), jnp.int32))
+        else:
+            acts.append(jnp.asarray(
+                rng.integers(0, n_actions, size=(n_inst,)), jnp.int32))
+    return acts
+
+
+def record_episode(env, params, agents):
     """Reset + step with the fixed protocol; returns dict of stacked arrays."""
     key = jax.random.PRNGKey(42)
     obs, state = env.reset_env(key, params)
@@ -80,19 +118,18 @@ def record_episode(env, params, n_types):
     rng = np.random.default_rng(7)
     steps = []
     for step in range(3 * 64):  # generous bound; break on done
-        acts = [jnp.asarray(rng.integers(0, n), jnp.int32)
-                for n in n_types]
+        acts = draw_actions(rng, agents)
         step_key = jax.random.fold_in(jax.random.PRNGKey(100), step)
         obs, state, rew, dones, info = env.step_env(step_key, state, acts,
                                                     params)
         row = {f"world_{k}": np.asarray(v)
                for k, v in _world_fields(state.world_state).items()}
-        for i in range(len(n_types)):
+        for i in range(len(agents)):
             row[f"obs_{i}"] = np.asarray(obs[i])
             row[f"rew_{i}"] = np.asarray(rew[i])
             row[f"done_{i}"] = np.asarray(dones["agents"][i])
+            row[f"actions_{i}"] = np.asarray(acts[i])
         row["done_all"] = np.asarray(dones["__all__"])
-        row["actions"] = np.stack([np.asarray(a) for a in acts])
         steps.append(row)
         if bool(np.asarray(dones["__all__"])):
             break
@@ -104,22 +141,33 @@ def record_episode(env, params, n_types):
     return rec
 
 
+def build_reference_env(sc, root):
+    ref_marl, ref_cfg = import_reference_env()
+    data_root = os.path.join(root, "data")
+    write_lobster_csvs(data_root, seed=sc["csv_seed"])
+    world = ref_cfg.World_EnvironmentConfig(
+        n_data_msg_per_step=sc["n_data_msg"], window_selector=-1,
+        ep_type="fixed_steps", episode_time=sc["episode_steps"],
+        start_resolution=sc["episode_steps"], dataPath=data_root,
+        alphatradePath=os.path.join(root, "ref_at"), stock="TEST",
+        timePeriod="2024")
+    kind_map = {"MM": ref_cfg.MarketMaking_EnvironmentConfig,
+                "Exec": ref_cfg.Execution_EnvironmentConfig}
+    ma = ref_cfg.MultiAgentConfig(
+        world_config=world,
+        dict_of_agents_configs={name: kind_map[kind](**ovr)
+                                for name, kind, ovr, _, _ in sc["agents"]},
+        number_of_agents_per_type=[n for *_, n in sc["agents"]])
+    return ref_marl.MARLEnv(jax.random.PRNGKey(0), multi_agent_config=ma)
+
+
 def main():
     assert reference_available(), "reference unavailable"
     os.makedirs(OUT_DIR, exist_ok=True)
     for name, sc in SCENARIOS.items():
         root = tempfile.mkdtemp(prefix=f"golden_{name}_")
-        data_root = os.path.join(root, "data")
-        write_lobster_csvs(data_root, seed=sc["csv_seed"])
-        env = make_reference_env(
-            data_root, os.path.join(root, "ref_at"),
-            episode_time=sc["episode_steps"],
-            start_resolution=sc["episode_steps"],
-            n_data_msg_per_step=sc["n_data_msg"], window_selector=-1,
-            mm_overrides=sc["mm"], exec_overrides=sc["ex"],
-            key=jax.random.PRNGKey(0))
-        rec = record_episode(env, env.default_params,
-                             (sc["mm_n_actions"], sc["ex_n_actions"]))
+        env = build_reference_env(sc, root)
+        rec = record_episode(env, env.default_params, sc["agents"])
         np.savez_compressed(os.path.join(OUT_DIR, f"{name}.npz"), **rec)
         print(f"{name}: {int(rec['n_steps'])} steps recorded")
 
