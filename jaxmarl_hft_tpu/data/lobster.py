@@ -48,7 +48,7 @@ class LoadedData:
                 self.max_msgs_per_window)
 
 
-def merge_market_orders(msgs: np.ndarray) -> np.ndarray:
+def merge_market_orders(msgs: np.ndarray, return_keep: bool = False):
     """Merge consecutive-in-time type-4 executions sharing (time_s, time_ns,
     direction) into a single execution (reference: merge_market_orders
     :1073-1132). Quantities sum; price is max for direction -1 and min for
@@ -56,11 +56,13 @@ def merge_market_orders(msgs: np.ndarray) -> np.ndarray:
 
     ``msgs`` columns: [time_s, time_ns, type, oid, qty, price, direction].
     Vectorised with np.unique instead of the reference's Python groupby loop.
+    With ``return_keep`` also returns the surviving row indices, so parallel
+    arrays (the book snapshots) can be filtered identically.
     """
     t_s, t_ns, typ, oid, qty, price, direction = msgs.T
     is_exec = typ == 4
     if not is_exec.any():
-        return msgs
+        return (msgs, np.arange(msgs.shape[0])) if return_keep else msgs
 
     keys = np.stack([t_s, t_ns, direction], axis=1)
     exec_idx = np.nonzero(is_exec)[0]
@@ -88,6 +90,8 @@ def merge_market_orders(msgs: np.ndarray) -> np.ndarray:
     out = msgs.copy()
     out[last_rows, 4] = qty_sums
     out[last_rows, 5] = agg_price
+    if return_keep:
+        return out[keep], np.nonzero(keep)[0]
     return out[keep]
 
 
@@ -116,10 +120,8 @@ def preprocess_day(message_df, book_df, day_start: int, day_end: int
     books = (book_df.to_numpy() if hasattr(book_df, "to_numpy")
              else np.asarray(book_df))[mask]
 
-    merged = merge_market_orders(work)
-    # books must be filtered identically: rebuild the keep-mask by re-running
-    # the merge bookkeeping on indices
-    kept_idx = _merge_keep_indices(work)
+    # books must be filtered identically to the messages
+    merged, kept_idx = merge_market_orders(work, return_keep=True)
     books = books[kept_idx]
 
     t_s, t_ns, typ, oid, qty, price, direction = merged.T
@@ -135,24 +137,6 @@ def preprocess_day(message_df, book_df, day_start: int, day_end: int
     assert msgs.shape[0] == books.shape[0]
     return msgs, books
 
-
-def _merge_keep_indices(msgs: np.ndarray) -> np.ndarray:
-    """Indices surviving merge_market_orders (same logic, indices only)."""
-    t_s, t_ns, typ, oid, qty, price, direction = msgs.T
-    is_exec = typ == 4
-    if not is_exec.any():
-        return np.arange(msgs.shape[0])
-    keys = np.stack([t_s, t_ns, direction], axis=1)
-    exec_idx = np.nonzero(is_exec)[0]
-    _, group_ids, counts = np.unique(
-        keys[exec_idx], axis=0, return_inverse=True, return_counts=True)
-    order = np.argsort(group_ids, kind="stable")
-    boundaries = np.searchsorted(group_ids[order], np.arange(counts.shape[0]))
-    last_rows = np.maximum.reduceat(exec_idx[order], boundaries)
-    keep = np.ones(msgs.shape[0], dtype=bool)
-    keep[exec_idx] = False
-    keep[last_rows] = True
-    return np.nonzero(keep)[0]
 
 
 def window_indices(n_msgs: int, *, ep_type: str, episode_time: int,
@@ -225,6 +209,20 @@ class LobsterLoader:
                     f for f in glob(d + "*orderbook*.csv") if os.path.getsize(f))
         self.message_files.sort()
         self.book_files.sort()
+        # guard the positional zip below: a missing/empty file on one side
+        # would silently shift every later message/book pairing (the
+        # reference asserts the same invariant, lobster_loader.py:762-764)
+        if len(self.message_files) != len(self.book_files):
+            raise FileNotFoundError(
+                f"unpaired LOBSTER csvs under {data_path}: "
+                f"{len(self.message_files)} message vs "
+                f"{len(self.book_files)} orderbook files")
+        for mf, bf in zip(self.message_files, self.book_files):
+            if os.path.basename(mf).replace("message", "orderbook") \
+                    != os.path.basename(bf):
+                raise FileNotFoundError(
+                    f"mispaired LOBSTER csvs: {os.path.basename(mf)} vs "
+                    f"{os.path.basename(bf)}")
 
     def _resolve_native(self) -> bool:
         if self.use_native is False:

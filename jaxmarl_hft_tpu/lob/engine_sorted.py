@@ -20,7 +20,8 @@ SURVEY.md §7 "hard parts" tie-break caveat). Fills, trade totals, best-price
 streams, and all order-insensitive queries are identical; equivalence is
 asserted against the exact engine in tests/test_engine_sorted.py.
 
-Select with WorldConfig.matching_engine = "sorted" (default) | "exact".
+Select with WorldConfig.matching_engine = "sorted" ("exact" is the
+default).
 """
 from __future__ import annotations
 
@@ -73,10 +74,15 @@ def _roll_dynamic(plane, shift, n):
 # Core sorted-side operations
 # --------------------------------------------------------------------------- #
 
-def _match_sorted(nTrades, opp, trades, qtm, price, agr_oid, time_s, time_ns,
-                  agr_tid, side_sign, opp_is_ask):
+def _match_sorted(nTrades, cap, opp, trades, qtm, price, agr_oid, time_s,
+                  time_ns, agr_tid, side_sign, opp_is_ask):
     """Match against the sorted opposing side; crossing orders are a prefix,
-    so fills come from an exclusive cumsum (replaces the O(n^2) matrix)."""
+    so fills come from an exclusive cumsum (replaces the O(n^2) matrix).
+
+    Like the exact engine, capped trade capture is exact unless one message
+    fills more than ``cap`` orders (then the exact engine leaves allocated
+    gap slots while this incremental path reuses them — both outside the
+    cap contract; cap = nTrades restores full exactness)."""
     p, q, oid, tid, ts, tn = opp
     n = p.shape[0]
     valid = p != -1
@@ -94,7 +100,11 @@ def _match_sorted(nTrades, opp, trades, qtm, price, agr_oid, time_s, time_ns,
     first_empty = ex._first_true(trades[4] == -1)
     base = jnp.where(first_empty >= 0, first_empty, nTrades - 1)
     t_idx = _iota(nTrades)
-    in_range = (t_idx >= base) & (t_idx < base + k) & (t_idx < nTrades - 1)
+    # trade_capture_cap: only the first `cap` fills of a message are
+    # recorded, matching engine._finalize_trades (the last-fill overflow
+    # slot below stays exact regardless)
+    in_range = ((t_idx >= base) & (t_idx < base + jnp.minimum(k, cap))
+                & (t_idx < nTrades - 1))
     # reference overflow semantics: the last slot holds the *last* fill when
     # base + k overruns the buffer; otherwise the regular mapping applies
     last_gets = (k > 0) & (base + k - 1 >= nTrades - 1)
@@ -252,9 +262,9 @@ def _apply_message_sorted(cfg, state, key, msg):
 
     qtm = jnp.where(is_lim, quant, 0)
     opp_matched, qtm_left, trades_matched = _match_sorted(
-        cfg.nTrades, opp, trades, qtm, match_price, msg[MsgCol.OID],
-        msg[MsgCol.TIME_S], msg[MsgCol.TIME_NS], msg[MsgCol.TID],
-        side_sign=s_eff, opp_is_ask=opp_is_ask)
+        cfg.nTrades, ex._trade_cap(cfg), opp, trades, qtm, match_price,
+        msg[MsgCol.OID], msg[MsgCol.TIME_S], msg[MsgCol.TIME_NS],
+        msg[MsgCol.TID], side_sign=s_eff, opp_is_ask=opp_is_ask)
 
     own_for_add = own
     if cfg.check_book_fill:

@@ -113,7 +113,10 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
         frac = (1.0 - (count // (config["NUM_MINIBATCHES"]
                                  * config["UPDATE_EPOCHS"]))
                 / config["NUM_UPDATES"])
-        return lr * frac
+        # train(num_updates=N) may run past the TOTAL_TIMESTEPS-derived
+        # NUM_UPDATES (new surface vs the reference, which always loops
+        # exactly NUM_UPDATES) — floor at 0 so the LR never flips sign
+        return lr * jnp.maximum(frac, 0.0)
 
     env_params = env.default_params
 
@@ -423,6 +426,10 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
         stacked chunk output). Bit-identical to chunk=1."""
         num_updates = num_updates or config["NUM_UPDATES"]
         runner_state = init_state(rng)
+        # decorrelate the host-side eval-key stream from init_state's split
+        # chain (both otherwise consume the same `rng`, so the first eval key
+        # would bitwise-duplicate a network-init key)
+        rng = jax.random.fold_in(rng, 0x6576616C)  # "eval"
         start_step = 0
         if resume_from is not None and resume_from.latest_step() is not None:
             from .checkpoint import restore_train_checkpoint

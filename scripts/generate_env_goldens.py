@@ -29,7 +29,6 @@ try:
 except Exception:
     pass
 
-import jax.numpy as jnp
 import numpy as np
 
 from reference_env import (import_reference_env, reference_available,
@@ -38,73 +37,8 @@ from reference_env import (import_reference_env, reference_available,
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests", "golden")
 
-# One golden per scenario. Each agent entry: (registered name, config kind
-# "MM"|"Exec", override dict, n_actions, n_instances). The test rebuilds OUR
-# env from this same table (tests/test_env_golden.py::SCENARIOS must match).
-SCENARIOS = {
-    "env_golden_2p": dict(
-        csv_seed=3, episode_steps=8, n_data_msg=10,
-        agents=[
-            ("MarketMaking", "MM",
-             dict(action_space="fixed_quants", observation_space="basic",
-                  fixed_quant_value=1), 10, 1),
-            ("Execution", "Exec",
-             dict(action_space="fixed_quants_complex",
-                  observation_space="engineered", task="sell",
-                  task_size=100), 13, 1),
-        ]),
-    "env_golden_2p_alt": dict(
-        csv_seed=11, episode_steps=6, n_data_msg=20,
-        agents=[
-            ("MarketMaking", "MM",
-             dict(action_space="spread_skew", observation_space="engineered",
-                  reward_function="portfolio_value"), 6, 1),
-            ("Execution", "Exec",
-             dict(action_space="fixed_quants_1msg", observation_space="basic",
-                  task="buy", task_size=200,
-                  reward_function="finish_fast"), 5, 1),
-        ]),
-    # three heterogeneous types, multiple instances of the middle one
-    "env_golden_3type": dict(
-        csv_seed=13, episode_steps=4, n_data_msg=10,
-        agents=[
-            ("MarketMaking", "MM",
-             dict(action_space="fixed_quants", observation_space="basic",
-                  fixed_quant_value=2), 10, 1),
-            ("Directional", "MM",
-             dict(action_space="directional_trading",
-                  observation_space="basic", short_name="DIR",
-                  fixed_quant_value=3), 3, 2),
-            ("Execution", "Exec",
-             dict(action_space="fixed_quants_complex",
-                  observation_space="engineered", task="sell",
-                  task_size=60), 13, 1),
-        ]),
-}
-
-
-def _world_fields(ws):
-    return {
-        "asks": ws.ask_raw_orders, "bids": ws.bid_raw_orders,
-        "trades": ws.trades, "best_asks": ws.best_asks,
-        "best_bids": ws.best_bids, "time": ws.time,
-        "order_id_counter": ws.order_id_counter, "mid_price": ws.mid_price,
-        "step_counter": ws.step_counter, "window_index": ws.window_index,
-        "start_index": ws.start_index, "delta_time": ws.delta_time,
-    }
-
-
-def draw_actions(rng, agents):
-    """One action per agent type; scalar when the type has one instance
-    (matching the reference trainer's squeezed action layout)."""
-    acts = []
-    for _, _, _, n_actions, n_inst in agents:
-        if n_inst == 1:
-            acts.append(jnp.asarray(rng.integers(0, n_actions), jnp.int32))
-        else:
-            acts.append(jnp.asarray(
-                rng.integers(0, n_actions, size=(n_inst,)), jnp.int32))
-    return acts
+from golden_scenarios import (SCENARIOS, draw_actions,
+                              world_fields)
 
 
 def record_episode(env, params, agents):
@@ -112,7 +46,7 @@ def record_episode(env, params, agents):
     key = jax.random.PRNGKey(42)
     obs, state = env.reset_env(key, params)
     rec = {f"reset_obs_{i}": np.asarray(o) for i, o in enumerate(obs)}
-    for k, v in _world_fields(state.world_state).items():
+    for k, v in world_fields(state.world_state).items():
         rec[f"reset_world_{k}"] = np.asarray(v)
 
     rng = np.random.default_rng(7)
@@ -123,7 +57,7 @@ def record_episode(env, params, agents):
         obs, state, rew, dones, info = env.step_env(step_key, state, acts,
                                                     params)
         row = {f"world_{k}": np.asarray(v)
-               for k, v in _world_fields(state.world_state).items()}
+               for k, v in world_fields(state.world_state).items()}
         for i in range(len(agents)):
             row[f"obs_{i}"] = np.asarray(obs[i])
             row[f"rew_{i}"] = np.asarray(rew[i])

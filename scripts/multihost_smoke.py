@@ -98,15 +98,22 @@ def run_driver(args):
         procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT, text=True))
     results = {}
-    for r, p in enumerate(procs):
-        out, _ = p.communicate(timeout=args.timeout)
-        if p.returncode != 0:
-            print(out)
-            raise SystemExit(f"rank {r} failed (exit {p.returncode})")
-        for line in out.splitlines():
-            if line.startswith("RESULT "):
-                rec = json.loads(line[len("RESULT "):])
-                results[rec["rank"]] = rec["losses"]
+    try:
+        for r, p in enumerate(procs):
+            out, _ = p.communicate(timeout=args.timeout)
+            if p.returncode != 0:
+                print(out)
+                raise SystemExit(f"rank {r} failed (exit {p.returncode})")
+            for line in out.splitlines():
+                if line.startswith("RESULT "):
+                    rec = json.loads(line[len("RESULT "):])
+                    results[rec["rank"]] = rec["losses"]
+    finally:
+        # a failed/timed-out rank must not leave peers blocked forever in
+        # jax.distributed collectives holding the coordinator port
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     assert len(results) == args.nprocs, results
     first = results[0]
     for r, losses in results.items():
