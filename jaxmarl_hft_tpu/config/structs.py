@@ -158,6 +158,13 @@ class MMConfig:
             s(self, "num_messages_by_agent", 4)
             s(self, "num_action_messages_by_agent", 2)
         elif a == "fixed_prices":
+            # two-sided ladder: n_actions//2 levels per side, builders handle
+            # 1-4 levels, and odd counts would misalign the price/side
+            # vectors — derive the full 4+4 ladder unless a valid even count
+            # was configured explicitly (the inherited default of 10 is
+            # invalid; upstream this space is dead code)
+            if self.n_actions % 2 or not 2 <= self.n_actions <= 8:
+                s(self, "n_actions", 8)
             s(self, "num_messages_by_agent", self.n_actions * 2)
             s(self, "num_action_messages_by_agent", self.n_actions)
         else:
@@ -199,6 +206,13 @@ class ExecConfig:
             s(self, "n_actions", 5); s(self, "num_messages_by_agent", 8)
             s(self, "num_action_messages_by_agent", 4)
         elif a == "fixed_prices":
+            # the FT/M/NT/PP(+MKT) ladder builders handle 1-4 levels; the
+            # inherited dataclass default of 5 is invalid for this space
+            # (upstream it silently returns None, exec_env.py:1048-1076 —
+            # here it would be a trace-time KeyError), so derive 4 unless a
+            # valid count was configured explicitly
+            if not 1 <= self.n_actions <= 4:
+                s(self, "n_actions", 4)
             s(self, "num_messages_by_agent", self.n_actions * 2)
             s(self, "num_action_messages_by_agent", self.n_actions)
         elif a == "fixed_quants_complex":

@@ -643,7 +643,7 @@ class ExecutionAgent:
             return spaces.Box(0, 100, (self.cfg.n_actions,), dtype=I32)
         return spaces.Discrete(self.cfg.n_actions)
 
-    def observation_space(self):
+    def observation_space(self, num_msgs_per_step: int | None = None):
         cfg, wc = self.cfg, self.world_config
         if cfg.observation_space == "engineered":
             n = 15 if wc.ep_type == "fixed_time" else 12

@@ -55,10 +55,6 @@ class MarlEnv:
                 raise ValueError(f"Unknown agent config type {type(agent_cfg)}")
             self.instance_list.append(cls(agent_cfg, self.world_config))
 
-        self.action_spaces = [i.action_space() for i in self.instance_list]
-        self.observation_spaces = [i.observation_space()
-                                   for i in self.instance_list]
-
         n_msg = self.world_config.n_data_msg_per_step
         n_action_msg = 0
         for cfg, n_agents in zip(self.agent_configs,
@@ -67,6 +63,14 @@ class MarlEnv:
             n_action_msg += cfg.num_action_messages_by_agent * n_agents
         self.num_msgs_per_step = int(n_msg)
         self.num_action_msgs_per_step = int(n_action_msg)
+
+        self.action_spaces = [i.action_space() for i in self.instance_list]
+        # message-window obs spaces see ALL types' step messages, so their
+        # row count is the orchestrator-level num_msgs_per_step (equal to the
+        # per-type count only in single-type single-instance configs)
+        self.observation_spaces = [
+            i.observation_space(num_msgs_per_step=self.num_msgs_per_step)
+            for i in self.instance_list]
 
     # ------------------------------------------------------------------ #
 
@@ -309,7 +313,10 @@ class MarlEnv:
                     old_mid_price, lob_state_before, False, False)
             mask = jnp.logical_and(dones_list[i],
                                    jnp.logical_not(dones["__all__"]))
-            obs = jnp.where(mask[..., None], jnp.zeros_like(obs), obs)
+            # rank-generic broadcast: message-window obs are rank-3
+            # (agents, msgs, 8), engineered/basic are rank-2
+            mask_b = mask.reshape(mask.shape + (1,) * (obs.ndim - mask.ndim))
+            obs = jnp.where(mask_b, jnp.zeros_like(obs), obs)
             obs_list.append(obs)
 
         return obs_list, new_state, reward_list, dones, info

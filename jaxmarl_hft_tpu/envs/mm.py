@@ -138,9 +138,14 @@ class MarketMakingAgent:
         """(reference: mm_env.py:417-459)"""
         state = MMEnvState(posted_distance_bid=0, posted_distance_ask=0,
                            inventory=0, total_PnL=0.0, cash_balance=0.0)
+        # message-window obs: the reset observation is a blank window sized
+        # like the step observation — the FULL step message stream
+        # (reference resets with None and a per-type size, which only
+        # matches the step shape in single-type single-instance configs)
+        blank_msgs = jnp.zeros((num_msgs_per_step, 8), dtype=I32)
         obs = self.get_observation(
             world_state=world_state, agent_state=state,
-            agent_param=agent_param, total_messages=None,
+            agent_param=agent_param, total_messages=blank_msgs,
             old_time=world_state.time, old_mid_price=world_state.mid_price,
             lob_state_before=None, normalize=self.cfg.normalize, flatten=True)
         return obs, state
@@ -928,21 +933,24 @@ class MarketMakingAgent:
             return spaces.Box(0, 100, (self.cfg.n_actions,), dtype=I32)
         return spaces.Discrete(self.cfg.n_actions)
 
-    def observation_space(self):
-        """(reference: mm_env.py:3195-3223)"""
+    def observation_space(self, num_msgs_per_step: int | None = None):
+        """(reference: mm_env.py:3195-3223). The message-window spaces
+        observe the whole step's message stream, so the orchestrator passes
+        its total ``num_msgs_per_step`` (this type's own count + data is only
+        correct in single-type single-instance configs)."""
         cfg, wc = self.cfg, self.world_config
         if cfg.observation_space == "engineered":
             n = 10 if wc.ep_type == "fixed_time" else 8
             return spaces.Box(-1000, 1000, (n,), dtype=F32)
         elif cfg.observation_space == "basic":
             return spaces.Box(-1000, 1000, (2,), dtype=F32)
-        elif cfg.observation_space == "messages":
-            n_msgs = cfg.num_messages_by_agent + wc.n_data_msg_per_step
+        n_msgs = (num_msgs_per_step if num_msgs_per_step is not None
+                  else cfg.num_messages_by_agent + wc.n_data_msg_per_step)
+        if cfg.observation_space == "messages":
             return spaces.Box(-wc.maxint, wc.maxint, (n_msgs, 8), dtype=I32)
         elif cfg.observation_space == "messages_new_tokenizer":
             from .tokenizer import TokenizerConfig
             tok = TokenizerConfig()
-            n_msgs = cfg.num_messages_by_agent + wc.n_data_msg_per_step
             return spaces.Box(0, tok.TOTAL_NUM_TOKENS - 1,
                               (n_msgs * 13 + 84,), dtype=I32)
         raise ValueError(f"Invalid observation_space {cfg.observation_space}")

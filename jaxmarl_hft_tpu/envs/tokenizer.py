@@ -70,9 +70,14 @@ def tokenize_messages(tok: TokenizerConfig, total_msgs, best_bids, best_asks,
     delta_price = jnp.concatenate(
         [jnp.asarray(first, rest.dtype)[None], rest])
 
-    event_dir_tok = (direction.astype(jnp.uint8) * 4
-                     + event.astype(jnp.uint8)).astype(jnp.uint32) \
-        + tok.EVENT_START
+    # direction {-1, 1} -> bit {0, 1}: ask events 1-4, bid events 5-8,
+    # no-op rows 0 — all inside the 64-token event band. (The reference
+    # computes direction.astype(uint8)*4 + event, where direction=-1 wraps
+    # to 252+event mod 256 — outside the band, aliasing order-id tokens and
+    # destroying the side for every ask message; that expression is dead
+    # code upstream, so the working semantics live here.)
+    event_dir_tok = ((direction == 1).astype(jnp.uint32) * 4
+                     + event.astype(jnp.uint32)) + tok.EVENT_START
 
     toks = jnp.concatenate([
         event_dir_tok[:, None],

@@ -38,6 +38,15 @@ def _filename_suffix(cfg: WorldConfig) -> str:
     return "_".join(str(p) for p in parts)
 
 
+def _reset_state_suffix(cfg: WorldConfig) -> str:
+    """Pickle-cache key for precomputed reset states: the loader suffix plus
+    every knob that changes the replayed book arrays (capacities and engine
+    backend — repo additions the reference key predates); omitting them
+    would silently load stale cached states after a config change."""
+    return (f"{_filename_suffix(cfg)}_{cfg.nOrders}_{cfg.nTrades}"
+            f"_{cfg.matching_engine}")
+
+
 def make_initial_orders(cfg: WorldConfig, book_l2: jax.Array,
                         time: jax.Array) -> jax.Array:
     """Init limit-order messages from one L2 snapshot, with the env layer's
@@ -132,7 +141,7 @@ class WorldEnv:
             d = os.path.join(cfg.alphatradePath, "pre_reset_states")
             os.makedirs(d, exist_ok=True)
             cache = os.path.join(
-                d, f"ResetStates_{_filename_suffix(cfg)}.pkl")
+                d, f"ResetStates_{_reset_state_suffix(cfg)}.pkl")
             if os.path.exists(cache):
                 with open(cache, "rb") as f:
                     self.init_states_array = pickle.load(f)

@@ -125,23 +125,6 @@ def _trades_from_soa(soa) -> jax.Array:
 # Core SoA kernels
 # --------------------------------------------------------------------------- #
 
-def _priority_better_soa(p, ts, tn, crossing, opp_is_ask):
-    """(n, n) bool: better[j, i] == crossing j has strictly higher priority
-    than i. Lexicographic (price, time_s, time_ns, slot); lower price wins on
-    the ask side, higher on the bid side (reference :241-268). Used only by
-    the non-hot public helpers; the scan path uses rank planes instead."""
-    n = p.shape[0]
-    idx_j = jax.lax.broadcasted_iota(I32, (n, n), 0)
-    idx_i = jax.lax.broadcasted_iota(I32, (n, n), 1)
-    pj, pi = p[:, None], p[None, :]
-    price_better = jnp.where(opp_is_ask, pj < pi, pj > pi)
-    tsj, tsi = ts[:, None], ts[None, :]
-    tnj, tni = tn[:, None], tn[None, :]
-    time_better = (tsj < tsi) | ((tsj == tsi) & (
-        (tnj < tni) | ((tnj == tni) & (idx_j < idx_i))))
-    return (price_better | ((pj == pi) & time_better)) & crossing[:, None]
-
-
 def _compute_rank(side_soa, side_is_bid):
     """Priority rank of every slot: 0 = best. Empty slots get rank n. Rank
     order is (price, time_s, time_ns, slot) lexicographic — identical to the

@@ -179,7 +179,10 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
             h, pi, value = ts.apply_fn(ts.params, h_states[i], ac_in)
             new_h[i] = h
             values.append(value)
-            action = pi.sample(seed=_rng)
+            # distinct sample stream per agent type (the reference seeds
+            # every type's pi.sample with the same key, ippo_rnn_JAXMARL
+            # .py:604, correlating exploration across types)
+            action = pi.sample(seed=jax.random.fold_in(_rng, i))
             log_probs.append(pi.log_prob(action))
             action = unbatchify(action, config["NUM_ENVS"], n_per_type[i])
             actions.append(action.squeeze())
@@ -203,7 +206,12 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
                     info["agents"][i]),
             }
             transitions.append(Transition(
-                jnp.tile(done["__all__"], n_per_type[i]),
+                # env-major actor layout (batchify reshapes (envs, agents)),
+                # so the episode mask must be repeat, not tile — tile would
+                # hand actor j env j%NUM_ENVS's done flag whenever a type has
+                # >1 instance, corrupting GAE episode boundaries (the
+                # reference has the same tile bug, ippo_rnn_JAXMARL.py:649)
+                jnp.repeat(done["__all__"], n_per_type[i]),
                 last_done[i],
                 batchify(actions[i],
                          config["NUM_ACTORS_PERTYPE"][i]).squeeze(),
@@ -259,6 +267,12 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
 
         loss_infos = []
         train_states = list(train_states)
+        # advance the carried key past the update phase and give each type
+        # its own permutation stream: the reference re-enters the next
+        # rollout with the SAME key its epoch scan just consumed for
+        # minibatch permutation (ippo_rnn_JAXMARL.py:1069), correlating data
+        # shuffling with subsequent action sampling
+        rng, perm_rng = jax.random.split(rng)
         for i in range(n_types):
             def _update_epoch(update_state, unused, i=i):
                 def _update_minbatch(train_state, batch_info):
@@ -331,7 +345,8 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
             # ~25 (T, B) info arrays aren't shuffled through every minibatch
             update_state = (train_states[i], initial_hstates[i],
                             traj_batch[i]._replace(info=None),
-                            advantages[i], targets[i], rng)
+                            advantages[i], targets[i],
+                            jax.random.fold_in(perm_rng, i))
             update_state, loss_info = jax.lax.scan(
                 _update_epoch, update_state, None, config["UPDATE_EPOCHS"])
             train_states[i] = update_state[0]

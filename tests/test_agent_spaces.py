@@ -195,3 +195,68 @@ def test_mm_messages_obs_space():
     env, obs, state, rewards = _run_env(mm_cfg=MMConfig(**kw))
     n_msgs = env.num_msgs_per_step
     assert np.asarray(obs[0]).shape == (1, n_msgs, 8)
+
+
+def test_mm_messages_obs_space_multi_type():
+    """Message-window observations in a MULTI-TYPE config: the window covers
+    ALL types' step messages (num_msgs_per_step rows), reset and step obs
+    shapes agree (auto-reset tree-select needs that), and the done-mask
+    zeroing broadcasts over the rank-3 obs."""
+    kw = dict(MM_BASE, action_space="fixed_quants",
+              observation_space="messages")
+    env, obs, state, rewards = _run_env(
+        mm_cfg=MMConfig(**kw),
+        exec_cfg=ExecConfig(action_space="fixed_quants_complex",
+                            observation_space="engineered", task_size=20),
+        steps=10)
+    n_msgs = env.num_msgs_per_step
+    assert env.observation_spaces[0].shape == (n_msgs, 8)
+    assert np.asarray(obs[0]).shape == (1, n_msgs, 8)
+    # auto-resetting step: the tree-select between stepped and reset obs
+    # requires both branches to have identical shapes
+    acts = [sp.sample(jax.random.PRNGKey(3)) for sp in env.action_spaces]
+    obs2, *_ = env.step(jax.random.PRNGKey(4), state, acts,
+                        env.default_params)
+    assert np.asarray(obs2[0]).shape == (1, n_msgs, 8)
+
+
+def test_mm_tokenizer_obs_space_multi_type():
+    kw = dict(MM_BASE, action_space="fixed_quants",
+              observation_space="messages_new_tokenizer")
+    env, obs, state, rewards = _run_env(
+        mm_cfg=MMConfig(**kw),
+        exec_cfg=ExecConfig(action_space="fixed_quants_complex",
+                            observation_space="engineered", task_size=20),
+        steps=10)
+    expected = env.observation_spaces[0].shape[0]
+    assert np.asarray(obs[0]).shape == (1, expected)
+
+
+def test_mm_fixed_prices_invalid_n_actions_derived():
+    """The inherited defaults (exec 5 / MM 10) are invalid for the 1-4-level
+    fixed_prices ladders; __post_init__ derives a valid count instead of
+    crashing at trace time."""
+    assert ExecConfig(action_space="fixed_prices").n_actions == 4
+    assert ExecConfig(action_space="fixed_prices", n_actions=3).n_actions == 3
+    assert MMConfig(action_space="fixed_prices").n_actions == 8
+    assert MMConfig(action_space="fixed_prices", n_actions=6).n_actions == 6
+    assert MMConfig(action_space="fixed_prices", n_actions=7).n_actions == 8
+
+
+def test_tokenizer_event_tokens_stay_in_band():
+    """Ask-side (direction=-1) event tokens must stay inside the 64-token
+    event band and keep the side distinguishable (the reference's uint8
+    expression wraps -1 to 252+event, aliasing order-id tokens)."""
+    from jaxmarl_hft_tpu.envs.tokenizer import (TokenizerConfig,
+                                                tokenize_messages)
+    tok = TokenizerConfig()
+    msgs = jnp.asarray([
+        [1, -1, 5, 1000, 7, 7, 34200, 0],     # ask add
+        [1, 1, 5, 900, 8, 8, 34200, 100],     # bid add
+        [0, 0, 0, 0, 0, 0, 0, 0],             # noop pad
+    ], jnp.int32)
+    bb = jnp.zeros((3, 2), jnp.int32)
+    toks = np.asarray(tokenize_messages(tok, msgs, bb, bb, 0)).reshape(3, 13)
+    ev = toks[:, 0]
+    assert ev[0] == 1 and ev[1] == 5 and ev[2] == 0   # ask=1, bid=5, pad=0
+    assert (ev < tok.ORDER_ID_B_START).all()
