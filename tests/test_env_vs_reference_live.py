@@ -187,3 +187,37 @@ def test_agent_states_track_reference(envs):
         np.testing.assert_array_equal(np.asarray(getattr(ref_ex, f)),
                                       np.asarray(getattr(our_ex, f)),
                                       err_msg=f"Exec {f}")
+
+
+def test_info_dicts_match_reference(envs):
+    """Per-step `info` (world fields + per-agent extras, marl_env.py:624-661)
+    feeds the reference's metrics pipeline — compare every shared key
+    bit-for-bit over several steps."""
+    ref_env, ours = envs
+    ref_p, our_p = ref_env.default_params, ours.default_params
+    key = jax.random.PRNGKey(33)
+    _, ref_state = ref_env.reset_env(key, ref_p)
+    _, our_state = ours.reset_env(key, our_p)
+    rng = np.random.default_rng(17)
+    for step in range(4):
+        acts = [jnp.asarray(rng.integers(0, 10), jnp.int32),
+                jnp.asarray(rng.integers(0, 13), jnp.int32)]
+        k = jax.random.fold_in(jax.random.PRNGKey(300), step)
+        ref_out = ref_env.step_env(k, ref_state, acts, ref_p)
+        our_out = ours.step_env(k, our_state, acts, our_p)
+        ref_state, ref_info = ref_out[1], ref_out[4]
+        our_state, our_info = our_out[1], our_out[4]
+
+        assert set(ref_info["world"]) == set(our_info["world"])
+        for kk in sorted(ref_info["world"]):
+            np.testing.assert_array_equal(
+                np.asarray(ref_info["world"][kk]),
+                np.asarray(our_info["world"][kk]),
+                err_msg=f"world info[{kk}] step {step}")
+        for i, (ri, oi) in enumerate(zip(ref_info["agents"],
+                                         our_info["agents"])):
+            assert set(ri) == set(oi), (sorted(ri), sorted(oi))
+            for kk in sorted(ri):
+                np.testing.assert_array_equal(
+                    np.asarray(ri[kk]), np.asarray(oi[kk]),
+                    err_msg=f"agent[{i}] info[{kk}] step {step}")
