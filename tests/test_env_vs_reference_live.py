@@ -221,3 +221,45 @@ def test_info_dicts_match_reference(envs):
                 np.testing.assert_array_equal(
                     np.asarray(ri[kk]), np.asarray(oi[kk]),
                     err_msg=f"agent[{i}] info[{kk}] step {step}")
+
+
+def test_debug_mode_info_matches_reference(tmp_path):
+    """debug_mode swells info with trades / step messages / L2 snapshot
+    (reference marl_env.py:645-656) — compare those too."""
+    root = tmp_path
+    data_root = str(root / "data")
+    write_lobster_csvs(data_root, seed=21, n=1500)
+    ref_env = make_reference_env(
+        data_root, str(root / "ra"), episode_time=4, start_resolution=4,
+        n_data_msg_per_step=8, window_selector=0,
+        mm_overrides=MM_OVR, exec_overrides=EXEC_OVR,
+        world_overrides=dict(debug_mode=True), key=jax.random.PRNGKey(0))
+    ours = MarlEnv(jax.random.PRNGKey(0), MultiAgentConfig(
+        world_config=WorldConfig(
+            synthetic_data=False, dataPath=data_root,
+            alphatradePath=str(root / "oa"), stock="TEST", timePeriod="2024",
+            ep_type="fixed_steps", episode_time=4, start_resolution=4,
+            n_data_msg_per_step=8, window_selector=0, debug_mode=True,
+            shuffle_action_messages=True, shuffle_via_sort=False,
+            use_pickles_for_init=False),
+        agents=(("MarketMaking", MMConfig(**MM_OVR)),
+                ("Execution", ExecConfig(**EXEC_OVR))),
+        number_of_agents_per_type=(1, 1)))
+    key = jax.random.PRNGKey(8)
+    _, ref_state = ref_env.reset_env(key, ref_env.default_params)
+    _, our_state = ours.reset_env(key, ours.default_params)
+    rng = np.random.default_rng(23)
+    for step in range(3):
+        acts = [jnp.asarray(rng.integers(0, 10), jnp.int32),
+                jnp.asarray(rng.integers(0, 13), jnp.int32)]
+        k = jax.random.fold_in(jax.random.PRNGKey(500), step)
+        ref_out = ref_env.step_env(k, ref_state, acts, ref_env.default_params)
+        our_out = ours.step_env(k, our_state, acts, ours.default_params)
+        ref_state, ref_info = ref_out[1], ref_out[4]
+        our_state, our_info = our_out[1], our_out[4]
+        for kk in ("trades", "total_msgs", "lob_state"):
+            assert kk in ref_info["world"] and kk in our_info["world"], kk
+            np.testing.assert_array_equal(
+                np.asarray(ref_info["world"][kk]),
+                np.asarray(our_info["world"][kk]),
+                err_msg=f"debug info[{kk}] step {step}")
