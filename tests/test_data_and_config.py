@@ -201,3 +201,45 @@ def test_lobster_loader_from_csv_files(tmp_path):
     data2 = loader.run_loading("csvtest")
     for a, b in zip(data.astuple(), data2.astuple()):
         np.testing.assert_array_equal(a, b)
+
+
+def test_all_shipped_presets_build_and_step():
+    """Every shipped env-config preset (mirroring the reference's 12,
+    config/env_configs/) constructs a MarlEnv and completes a step on
+    synthetic data — catches invalid derived defaults (e.g. the inherited
+    fixed_prices n_actions) before a user does."""
+    import glob as _glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from jaxmarl_hft_tpu.config.structs import replace_cfg
+    from jaxmarl_hft_tpu.envs.marl import MarlEnv
+
+    cfg_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs")
+    presets = sorted(_glob.glob(os.path.join(cfg_dir, "*.json")))
+    assert len(presets) >= 12
+    for path in presets:
+        cfg = load_config(path)
+        world = replace_cfg(
+            cfg.world_config, synthetic_data=True, synthetic_n_msgs=6_000,
+            use_pickles_for_init=False, episode_time=4, start_resolution=4,
+            n_data_msg_per_step=8,
+            ep_type="fixed_steps" if cfg.world_config.ep_type
+            not in ("fixed_steps", "fixed_time") else cfg.world_config.ep_type)
+        ma = MultiAgentConfig(world_config=world, agents=cfg.agents,
+                              number_of_agents_per_type=
+                              cfg.number_of_agents_per_type)
+        env = MarlEnv(jax.random.PRNGKey(0), ma)
+        params = env.default_params
+        obs, state = env.reset_env(jax.random.PRNGKey(1), params)
+        acts = []
+        for i, sp in enumerate(env.action_spaces):
+            n = ma.number_of_agents_per_type[i]
+            ks = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(2),
+                                                     i), n)
+            samples = jnp.stack([sp.sample(k) for k in ks])
+            acts.append(samples[0] if n == 1 else samples)
+        out = env.step_env(jax.random.PRNGKey(3), state, acts, params)
+        assert len(out) == 5, os.path.basename(path)
