@@ -51,6 +51,16 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="network compute dtype (bfloat16 = MXU-native; "
                          "params/logits/values stay float32)")
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="every N updates, run a greedy-policy rollout on a "
+                         "held-out eval env and log eval_avg_reward "
+                         "(reference: CALC_EVAL on-device eval, "
+                         "ippo_rnn_JAXMARL.py:876-975). The eval env uses "
+                         "--eval-seed for its data windows")
+    ap.add_argument("--eval-envs", type=int, default=8)
+    ap.add_argument("--eval-steps", type=int, default=32)
+    ap.add_argument("--eval-seed", type=int, default=1234,
+                    help="env-construction seed for the held-out eval env")
     ap.add_argument("--chunk-updates", type=int, default=1,
                     help="scan N update steps per jitted program (one host "
                          "metrics fetch per chunk instead of per update; "
@@ -180,20 +190,33 @@ def _run_one(args, ma_cfg, rl_overrides, tag):
                      for l in metrics["loss"]],
             "avg_reward": [float(r) for r in metrics["avg_reward"]],
         }
+        if "eval_avg_reward" in metrics:
+            line["eval_avg_reward"] = metrics["eval_avg_reward"]
         print(f"update {step}: loss="
               f"{[round(l['total_loss'], 4) for l in line['loss']]} "
               f"reward={[round(r, 3) for r in line['avg_reward']]} "
-              f"sps={line['steps_per_sec']:.0f}")
+              f"sps={line['steps_per_sec']:.0f}"
+              + (f" eval={[round(r, 3) for r in line['eval_avg_reward']]}"
+                 if "eval_avg_reward" in line else ""))
         if log_f:
             log_f.write(json.dumps(line) + "\n")
             log_f.flush()
+
+    eval_env = None
+    if args.eval_every > 0:
+        # held-out evaluation env: same config, independently-seeded window
+        # sampling (reference: eval env on a held-out data period,
+        # ippo_rnn_JAXMARL.py:478-482)
+        eval_env = MarlEnv(jax.random.PRNGKey(args.eval_seed), ma_cfg)
 
     full = args.full_checkpoints or args.resume
     out = train(jax.random.PRNGKey(cfg["SEED"]),
                 num_updates=args.num_updates, log_fn=log_fn,
                 checkpoint_manager=ckpt_mgr, full_checkpoints=full,
                 resume_from=ckpt_mgr if args.resume else None,
-                chunk=args.chunk_updates)
+                chunk=args.chunk_updates, eval_env=eval_env,
+                eval_every=args.eval_every, eval_envs=args.eval_envs,
+                eval_steps=args.eval_steps)
     elapsed = time.time() - t_start
     updates_run = (args.num_updates or cfg["NUM_UPDATES"]) \
         - (first_step[0] or 0)
