@@ -73,16 +73,21 @@ def bench_rollout(env, n_envs, n_steps, seed=0):
         state, rs = jax.lax.scan(one_step, state, keys)
         return state, rs.sum()
 
+    import numpy as np
+
     # compile
     t0 = time.time()
-    state2, _ = rollout(state, jax.random.PRNGKey(1))
-    jax.block_until_ready(state2)
+    state2, s = rollout(state, jax.random.PRNGKey(1))
+    np.asarray(s)
     compile_time = time.time() - t0
 
-    # timed run
+    # timed run — force a host copy of the scalar output: on this backend
+    # block_until_ready alone can return before the device finishes
+    # (CLAUDE.md); measured equivalent here (190.9k vs 189.9k) but the host
+    # copy is the trustworthy form
     t0 = time.time()
     state3, s = rollout(state, jax.random.PRNGKey(2))
-    jax.block_until_ready(state3)
+    np.asarray(s)
     elapsed = time.time() - t0
 
     steps_per_sec = n_envs * n_steps / elapsed

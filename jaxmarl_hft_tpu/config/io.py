@@ -90,7 +90,19 @@ def make_agent_configs(config: Dict[str, Any]) -> Dict[str, Any]:
         overrides = {k: v for k, v in json_agents.get(name, {}).items()
                      if k in known}
         if sweep_agents and name in sweep_agents:
-            overrides.update({k: v for k, v in sweep_agents[name].items()
-                              if k in known})
+            sweep_over = {k: v for k, v in sweep_agents[name].items()
+                          if k in known}
+            if "action_space" in sweep_over:
+                # the json layer's serialized dict includes __post_init__-
+                # DERIVED fields for ITS action space; when the sweep swaps
+                # the space those stale values must not be passed as explicit
+                # constructor args (a twap-derived n_actions=1 would silently
+                # shrink a swept fixed_prices ladder) — drop them unless the
+                # sweep sets them itself
+                for k in ("n_actions", "num_messages_by_agent",
+                          "num_action_messages_by_agent"):
+                    if k not in sweep_over:
+                        overrides.pop(k, None)
+            overrides.update(sweep_over)
         agent_configs[name] = cls(**overrides)
     return agent_configs

@@ -93,14 +93,21 @@ def rollout(env: MarlEnv, policies: List[Any], num_envs: int, num_steps: int,
             ac_in = (obs_i[None], dones[i][None])
             h, action, _ = pol.apply(None, hstates[i], ac_in, key=akey)
             new_h[i] = h
-            actions.append(unbatchify(action, num_envs,
-                                      n_per_type[i]).squeeze())
+            a = unbatchify(action, num_envs, n_per_type[i])  # (E, A, K)
+            # squeeze the agent/head axes only when they are singleton —
+            # a bare .squeeze() would also collapse the env axis when
+            # num_envs == 1 and crash the vmapped env.step
+            if a.shape[-1] == 1:
+                a = a.squeeze(-1)
+            if n_per_type[i] == 1 and a.ndim > 1:
+                a = a.squeeze(1)
+            actions.append(a)
         step_keys = jax.random.split(skey, num_envs)
         obsv, env_state, rewards, done, info = jax.vmap(
             env.step, in_axes=(0, 0, 0, None))(step_keys, env_state, actions,
                                                params)
         new_dones = [batchify(done["agents"][i],
-                              num_envs * n_per_type[i]).squeeze()
+                              num_envs * n_per_type[i]).squeeze(-1)
                      for i in range(len(policies))]
         return (env_state, obsv, new_dones, new_h), (rewards, done, info)
 

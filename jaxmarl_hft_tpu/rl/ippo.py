@@ -405,7 +405,7 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
         return _chunk_jits[n]
 
     def _eval_rollout(eval_env, train_states, rng, n_envs, n_steps):
-        """Greedy-policy rollout on a held-out env; returns per-type mean
+        """Stochastic-policy rollout on the eval env; returns per-type mean
         rewards (reference: the CALC_EVAL on-device eval scan,
         ippo_rnn_JAXMARL.py:876-975, here run between updates)."""
         from .baselines import LearnedPolicy, rollout

@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-from bench import bench_rollout, build_env
+from bench import _preflight, bench_rollout, build_env
 
 
 def main():
@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--n-data-msg", type=str, default="100,1")
     ap.add_argument("--out", type=str, default="speed_test_results.csv")
     args = ap.parse_args()
+
+    if not _preflight():
+        raise SystemExit("device preflight failed (wedged TPU tunnel? see "
+                         "CLAUDE.md) — aborting instead of hanging")
 
     agent_grid = [tuple(int(x) for x in a.split(","))
                   for a in args.agents.split(";")]

@@ -52,15 +52,21 @@ def main():
                     help="network compute dtype (bfloat16 = MXU-native; "
                          "params/logits/values stay float32)")
     ap.add_argument("--eval-every", type=int, default=0,
-                    help="every N updates, run a greedy-policy rollout on a "
-                         "held-out eval env and log eval_avg_reward "
-                         "(reference: CALC_EVAL on-device eval, "
-                         "ippo_rnn_JAXMARL.py:876-975). The eval env uses "
-                         "--eval-seed for its data windows")
+                    help="every N updates (N must align with "
+                         "--chunk-updates: eval runs at chunk boundaries), "
+                         "run a stochastic-policy rollout on a separate "
+                         "eval env and log eval_avg_reward (reference: "
+                         "CALC_EVAL on-device eval, ippo_rnn_JAXMARL.py"
+                         ":876-975). Same data distribution unless "
+                         "--eval-env-config points at held-out data")
+    ap.add_argument("--eval-env-config", type=str, default=None,
+                    help="separate env-config JSON for the eval env (e.g. a "
+                         "held-out timePeriod, mirroring the reference's "
+                         "eval data period); defaults to the training config")
     ap.add_argument("--eval-envs", type=int, default=8)
     ap.add_argument("--eval-steps", type=int, default=32)
     ap.add_argument("--eval-seed", type=int, default=1234,
-                    help="env-construction seed for the held-out eval env")
+                    help="construction seed for the eval env")
     ap.add_argument("--chunk-updates", type=int, default=1,
                     help="scan N update steps per jitted program (one host "
                          "metrics fetch per chunk instead of per update; "
@@ -70,8 +76,6 @@ def main():
     from jaxmarl_hft_tpu.config.io import load_config
     from jaxmarl_hft_tpu.config.structs import (MultiAgentConfig,
                                                 WorldConfig, replace_cfg)
-    from jaxmarl_hft_tpu.envs.marl import MarlEnv
-    from jaxmarl_hft_tpu.rl.ippo import default_train_config, make_train
 
     if args.env_config:
         ma_cfg = load_config(args.env_config)
@@ -99,7 +103,7 @@ def main():
         with open(args.rl_config) as f:
             if args.rl_config.endswith((".yaml", ".yml")):
                 import yaml
-                rl_overrides = yaml.safe_load(f)
+                rl_overrides = yaml.safe_load(f) or {}
             else:
                 rl_overrides = json.load(f)
 
@@ -204,10 +208,26 @@ def _run_one(args, ma_cfg, rl_overrides, tag):
 
     eval_env = None
     if args.eval_every > 0:
-        # held-out evaluation env: same config, independently-seeded window
-        # sampling (reference: eval env on a held-out data period,
-        # ippo_rnn_JAXMARL.py:478-482)
-        eval_env = MarlEnv(jax.random.PRNGKey(args.eval_seed), ma_cfg)
+        if args.eval_every % max(args.chunk_updates, 1):
+            print(f"WARNING: --eval-every {args.eval_every} is not a "
+                  f"multiple of --chunk-updates {args.chunk_updates}; eval "
+                  "only runs at chunk boundaries, so it will fire every "
+                  "LCM(eval_every, chunk) updates (possibly never)")
+        eval_cfg = ma_cfg
+        if args.eval_env_config:
+            # held-out data period: take the WORLD config from the eval
+            # preset but keep the training agents — the trained parameters
+            # are applied to the eval env, so action/obs spaces must match
+            # (reference: eval env on a held-out data period,
+            # ippo_rnn_JAXMARL.py:478-482)
+            from jaxmarl_hft_tpu.config.io import load_config
+            from jaxmarl_hft_tpu.config.structs import MultiAgentConfig
+            eval_cfg = MultiAgentConfig(
+                world_config=load_config(args.eval_env_config).world_config,
+                agents=ma_cfg.agents,
+                number_of_agents_per_type=
+                ma_cfg.number_of_agents_per_type)
+        eval_env = MarlEnv(jax.random.PRNGKey(args.eval_seed), eval_cfg)
 
     full = args.full_checkpoints or args.resume
     out = train(jax.random.PRNGKey(cfg["SEED"]),

@@ -243,3 +243,25 @@ def test_all_shipped_presets_build_and_step():
             acts.append(samples[0] if n == 1 else samples)
         out = env.step_env(jax.random.PRNGKey(3), state, acts, params)
         assert len(out) == 5, os.path.basename(path)
+
+
+def test_sweep_action_space_swap_rederives_n_actions():
+    """Sweeping AGENT_CONFIGS action_space must not inherit the json layer's
+    DERIVED fields (a twap-derived n_actions=1 silently shrank a swept
+    fixed_prices ladder before)."""
+    from jaxmarl_hft_tpu.config.io import config_to_dict, make_agent_configs
+    from jaxmarl_hft_tpu.config.structs import ExecConfig
+
+    cfg = MultiAgentConfig(
+        world_config=WorldConfig(synthetic_data=True),
+        agents=(("Execution", ExecConfig(action_space="twap")),),
+        number_of_agents_per_type=(1,))
+    d = config_to_dict(cfg)
+    d["AGENT_CONFIGS"] = {"Execution": {"action_space": "fixed_prices"}}
+    assert make_agent_configs(d)["Execution"].n_actions == 4
+    d["AGENT_CONFIGS"] = {"Execution": {"action_space": "fixed_prices",
+                                        "n_actions": 2}}
+    assert make_agent_configs(d)["Execution"].n_actions == 2
+    d["AGENT_CONFIGS"] = {"Execution": {"task_size": 99}}
+    a = make_agent_configs(d)["Execution"]
+    assert (a.action_space, a.n_actions, a.task_size) == ("twap", 1, 99)

@@ -186,3 +186,12 @@ def test_autoregressive_heads():
     assert np.all(np.isfinite(np.asarray(lp)))
     ent = pi.entropy()
     assert np.all(np.asarray(ent) > 0)
+
+
+def test_baseline_rollout_single_env(env):
+    """rollout with num_envs=1: the env axis must survive action squeezing
+    (a bare .squeeze() used to collapse it and crash the vmapped step)."""
+    policies = [RandomPolicy(sp) for sp in env.action_spaces]
+    rewards, dones, infos = rollout(env, policies, num_envs=1, num_steps=4,
+                                    seed=0)
+    assert all(np.asarray(r).shape[:2] == (4, 1) for r in rewards)
