@@ -22,19 +22,19 @@ speed-test:
 	$(PY) scripts/speed_test.py
 
 ppo-2player:
-	$(PY) scripts/train.py --env-config configs/2_player_fq_fqc.json \
+	$(PY) scripts/train.py --env-config configs/2_player_fq_fqc_synth.json \
 		--rl-config configs/ippo_2player.yaml
 
 ppo-exec:
-	$(PY) scripts/train.py --env-config configs/exec_longrun_fixed_quants_complex.json \
+	$(PY) scripts/train.py --env-config configs/exec_longrun_fixed_quants_complex_synth.json \
 		--rl-config configs/ippo_exec_fqc.yaml
 
 ppo-mm:
-	$(PY) scripts/train.py --env-config configs/mm_debug_fixed_quant.json \
+	$(PY) scripts/train.py --env-config configs/mm_debug_fixed_quant_synth.json \
 		--rl-config configs/ippo_mm_fq.yaml
 
 baseline-eval:
-	$(PY) scripts/evaluate.py --env-config configs/2_player_fq_fqc.json
+	$(PY) scripts/evaluate.py --env-config configs/2_player_fq_fqc_synth.json
 
 plot:
 	$(PY) scripts/plots.py

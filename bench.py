@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 
 def build_env(n_data_msg=100, n_per_type=(1, 1), engine="exact",
-              trade_capture_cap=16):
+              trade_capture_cap=16, trade_mode="compressed"):
     from jaxmarl_hft_tpu.config.structs import (ExecConfig, MMConfig,
                                                 MultiAgentConfig, WorldConfig)
     from jaxmarl_hft_tpu.envs.marl import MarlEnv
@@ -28,7 +28,8 @@ def build_env(n_data_msg=100, n_per_type=(1, 1), engine="exact",
         synthetic_data=True, synthetic_n_msgs=400_000, ep_type="fixed_steps",
         episode_time=64, start_resolution=64,
         n_data_msg_per_step=n_data_msg, use_pickles_for_init=False,
-        trade_capture_cap=trade_capture_cap, matching_engine=engine)
+        trade_capture_cap=trade_capture_cap, trade_capture_mode=trade_mode,
+        matching_engine=engine)
     agents = (
         ("MarketMaking", MMConfig(action_space="fixed_quants",
                                   observation_space="basic",
@@ -94,14 +95,14 @@ def bench_rollout(env, n_envs, n_steps, seed=0):
     return steps_per_sec, compile_time, elapsed
 
 
-def _preflight(timeout_s: int = 240) -> bool:
-    """The TPU tunnel can wedge so that every program hangs forever (see
-    CLAUDE.md); bound the bench with a watchdog so a dead device yields an
-    honest zero-valued record instead of a hung process."""
+def _preflight_once(timeout_s: int) -> bool:
+    """One bounded device probe. The TPU tunnel can wedge so that every
+    program hangs forever (see CLAUDE.md); a watchdog turns a hang into a
+    clean failure instead of a hung process."""
     import signal
 
     def _bail(signum, frame):
-        raise TimeoutError("device preflight timed out")
+        raise TimeoutError(f"device preflight timed out ({timeout_s}s)")
 
     signal.signal(signal.SIGALRM, _bail)
     signal.alarm(timeout_s)
@@ -118,6 +119,29 @@ def _preflight(timeout_s: int = 240) -> bool:
         signal.alarm(0)
 
 
+def _preflight(budget_s: int = 600) -> bool:
+    """Retry the probe with growing timeouts until it passes or the budget
+    is spent. A transient tunnel outage (observed: minutes-long) must not
+    zero the round's official metric; only a persistently dead device may.
+    """
+    schedule = [60, 120, 180, 240]  # per-attempt watchdogs
+    spent = 0.0
+    for i, t in enumerate(schedule):
+        t = min(t, max(15, int(budget_s - spent)))
+        t0 = time.time()
+        if _preflight_once(t):
+            return True
+        spent += time.time() - t0
+        if spent >= budget_s:
+            break
+        pause = min(30, budget_s - spent)
+        print(f"# preflight retry {i + 1} in {pause:.0f}s "
+              f"(spent {spent:.0f}s of {budget_s}s budget)", file=sys.stderr)
+        time.sleep(pause)
+        spent += pause
+    return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=4096)
@@ -129,6 +153,10 @@ def main():
                     help="max fills recorded per single message (0 = "
                          "nTrades, fully exact; 16 = production default, "
                          "exact unless one message fills >16 orders)")
+    ap.add_argument("--trade-mode", type=str, default="compressed",
+                    choices=["postscan", "compressed"],
+                    help="trade-buffer assembly (bit-identical; postscan "
+                         "reconstructs once per scan and is cap-independent)")
     args = ap.parse_args()
 
     if not _preflight():
@@ -140,7 +168,8 @@ def main():
         return
 
     env = build_env(n_data_msg=args.n_data_msg, engine=args.engine,
-                    trade_capture_cap=args.trade_cap)
+                    trade_capture_cap=args.trade_cap,
+                    trade_mode=args.trade_mode)
     sps, compile_time, elapsed = bench_rollout(env, args.envs, args.steps)
     target_per_chip = 1_000_000 / 16  # BASELINE.md: 1M aggregate on v5e-16
     print(json.dumps({

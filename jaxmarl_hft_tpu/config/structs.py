@@ -45,6 +45,18 @@ class LobConfig:
     # shrinks the per-message trade-write matrix from (nTrades, nOrders) to
     # (cap, nOrders). Realistic flow rarely exceeds a handful.
     trade_capture_cap: int = 0
+    # Trade-buffer assembly strategy (bit-identical results, perf knob):
+    # "compressed" — per-message (cap, nOrders) one-hot extraction into
+    #                compressed records + a (nTrades, M, cap) finalize
+    #                contraction (cost scales with cap). Default.
+    # "postscan"   — the scan emits per-slot (fill, rank, p, oid, tid) planes
+    #                it already computes and the buffer is reconstructed once
+    #                per scan with an exact one-hot matmul row-gather; cost is
+    #                independent of trade_capture_cap. Bit-identical
+    #                (tests/test_trade_postscan.py, on-chip probe) but
+    #                measured slower at production shapes on v5e — kept as an
+    #                opt-in lab path (BASELINE.md round-2 notes).
+    trade_capture_mode: str = "compressed"
     # lax.scan unroll factor for the message scan (semantics-preserving).
     # Measured neutral on v5e at production shapes (scripts/probe_unroll.py:
     # 22.46/22.30/22.29 ms for unroll 1/2/4 at 4096x112) — XLA already keeps

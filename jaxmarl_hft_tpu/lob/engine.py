@@ -142,7 +142,8 @@ def _compute_rank(side_soa, side_is_bid):
     return jnp.where(valid, inv, n)
 
 
-def _match_soa(cap, opp, opp_rank, opp_cumq, qtm, price, opp_is_ask):
+def _match_soa(cap, opp, opp_rank, opp_cumq, qtm, price, opp_is_ask,
+               postscan=False):
     """Match ``qtm`` at limit ``price`` against the opposing SoA side;
     returns (new_opp, new_opp_rank, new_opp_cumq, qtm_left, fills,
     last_fill, k).
@@ -175,14 +176,20 @@ def _match_soa(cap, opp, opp_rank, opp_cumq, qtm, price, opp_is_ask):
     filled = fill > 0
     k = jnp.sum(filled).astype(I32)
 
-    # compressed fills: fill order c < cap  <=>  rank == c
-    c_iota = jax.lax.broadcasted_iota(I32, (cap, n), 0)
-    MC = filled[None, :] & (opp_rank[None, :] == c_iota)
+    if postscan:
+        # per-slot planes; compression to fill order happens once per scan
+        # in _finalize_trades_postscan (fill order c  <=>  rank == c)
+        fills = (fill, jnp.where(filled, opp_rank, n).astype(I32))
+    else:
+        # compressed fills: fill order c < cap  <=>  rank == c
+        c_iota = jax.lax.broadcasted_iota(I32, (cap, n), 0)
+        MC = filled[None, :] & (opp_rank[None, :] == c_iota)
 
-    def cfield(vals):
-        return jnp.sum(jnp.where(MC, vals[None, :], 0), axis=1).astype(I32)
+        def cfield(vals):
+            return jnp.sum(jnp.where(MC, vals[None, :], 0),
+                           axis=1).astype(I32)
 
-    fills = (cfield(p), cfield(fill), cfield(oid), cfield(tid))
+        fills = (cfield(p), cfield(fill), cfield(oid), cfield(tid))
 
     # the message's LAST fill (rank k-1), recorded separately so the
     # buffer-overflow "last write wins" slot is exact even when k > cap
@@ -250,9 +257,17 @@ def _finalize_trades(cfg, init_trades, recs):
     out = tuple(jnp.where(hit, v, cur)
                 for v, cur in zip(vals, init_trades))
 
-    # overflow / boundary: slot nT-1 holds the globally-last fill
+    return _apply_overflow_last(nT, out, base0, K,
+                                (LP, LQ, LOID, AOID, TS, TN, LTID, ATID), t)
+
+
+def _apply_overflow_last(nT, out, base0, K, last_fields, t):
+    """Overflow / boundary: slot nT-1 holds the globally-last fill (reference
+    match_order :205-217 .at[-1] wrap). ``last_fields`` are (M,) per-message
+    last-fill columns in trade-row order."""
     totK = jnp.sum(K)
     write_last = (totK > 0) & (base0 + totK - 1 >= nT - 1)
+    M = K.shape[0]
     m_iota = jax.lax.broadcasted_iota(I32, (M,), 0)
     m_l = jnp.max(jnp.where(K > 0, m_iota, -1))
     sel_m = m_iota == m_l
@@ -260,11 +275,88 @@ def _finalize_trades(cfg, init_trades, recs):
     def last_msg(Svec):
         return jnp.sum(jnp.where(sel_m, Svec, 0)).astype(I32)
 
-    last_vals = (last_msg(LP), last_msg(LQ), last_msg(LOID), last_msg(AOID),
-                 last_msg(TS), last_msg(TN), last_msg(LTID), last_msg(ATID))
-    out = tuple(jnp.where(write_last & (t == nT - 1), lv, o)
-                for lv, o in zip(last_vals, out))
-    return out
+    return tuple(jnp.where(write_last & (t == nT - 1), last_msg(lf), o)
+                 for lf, o in zip(last_fields, out))
+
+
+def _gather_rows_exact(W, planes_and_chunks):
+    """Exact one-hot row-gather ``G_f[t, :] = X_f[m(t), :]`` for several
+    int32 plane stacks at once, formulated as ONE bf16 matmul so XLA can put
+    it on the MXU instead of materialising an (nT, M, n) broadcast.
+
+    W is a 0/1 (nT, M) mask with at most one 1 per row; each int32 plane is
+    split into 8-bit chunks (two's complement bytes), every chunk value is
+    in [0, 255] (exact in bf16), and every output element is a sum with at
+    most ONE nonzero term — so the f32 accumulation is exact bit-for-bit on
+    every backend. Chunks recombine with wrapping shifts (exact two's
+    complement reconstruction)."""
+    Wb = W.astype(jnp.bfloat16)
+    cols = []
+    for X, n_chunks in planes_and_chunks:
+        for c in range(n_chunks):
+            cols.append(((X >> (8 * c)) & 0xFF).astype(jnp.bfloat16))
+    G = jnp.dot(Wb, jnp.concatenate(cols, axis=1),
+                preferred_element_type=jnp.float32).astype(I32)
+    outs = []
+    off = 0
+    for X, n_chunks in planes_and_chunks:
+        n = X.shape[1]
+        acc = jnp.zeros((W.shape[0], n), I32)
+        for c in range(n_chunks):
+            acc = acc | (G[:, off:off + n] << (8 * c))
+            off += n
+        outs.append(acc)
+    return outs
+
+
+def _finalize_trades_postscan(cfg, init_trades, recs):
+    """Trade-buffer assembly from per-slot fill planes: bit-identical to
+    _finalize_trades but with cost independent of ``trade_capture_cap`` —
+    full exactness (cap = nTrades) is free. Per trade slot t the owning
+    message m(t) and within-message fill index r(t) are derived exactly as
+    in _finalize_trades; the (m(t), r(t)) lookup is then one MXU row-gather
+    of the per-slot planes plus a single (nTrades, nOrders) rank match
+    (fill order c == pre-match priority rank, see _match_soa)."""
+    (FQ, RK, PP, POID, PTID, LP, LQ, LOID, LTID, K, AOID, TS, TN,
+     ATID) = recs
+    nT = cfg.nTrades
+    M, n = FQ.shape
+    cap = _trade_cap(cfg)
+
+    first_empty = _first_true(init_trades[4] == -1)
+    base0 = jnp.where(first_empty >= 0, first_empty, nT - 1)
+    cum = base0 + jnp.cumsum(K) - K                       # (M,) start slots
+    t = jax.lax.broadcasted_iota(I32, (nT,), 0)
+    W = (cum[None, :] <= t[:, None]) & (t[:, None] < (cum + K)[None, :])
+    valid_t = jnp.any(W, axis=1)
+    cum_at = jnp.sum(jnp.where(W, cum[None, :], 0), axis=1)
+    r = t - cum_at                                        # fill idx in msg
+
+    rank_chunks = 1 if n < 256 else 2
+    G_rk, G_fq, G_pp, G_poid, G_ptid = _gather_rows_exact(
+        W, [(RK, rank_chunks), (FQ, 4), (PP, 4), (POID, 4), (PTID, 4)])
+
+    sel = G_rk == r[:, None]                              # (nT, n)
+
+    def pick(G):
+        return jnp.sum(jnp.where(sel, G, 0), axis=1).astype(I32)
+
+    def per_msg(Svec):
+        return jnp.sum(jnp.where(W, Svec[None, :], 0), axis=1).astype(I32)
+
+    hit = valid_t & (r < cap) & (t < nT - 1)
+    vals = (pick(G_pp), pick(G_fq), pick(G_poid), per_msg(AOID),
+            per_msg(TS), per_msg(TN), pick(G_ptid), per_msg(ATID))
+    out = tuple(jnp.where(hit, v, cur)
+                for v, cur in zip(vals, init_trades))
+    return _apply_overflow_last(nT, out, base0, K,
+                                (LP, LQ, LOID, AOID, TS, TN, LTID, ATID), t)
+
+
+def _finalize(cfg, init_trades, recs):
+    if _trade_mode(cfg) == "postscan":
+        return _finalize_trades_postscan(cfg, init_trades, recs)
+    return _finalize_trades(cfg, init_trades, recs)
 
 
 def _add_order_soa(own, own_rank, own_cumq, own_is_bid, price, quant, oid_v,
@@ -441,6 +533,10 @@ def _trade_cap(cfg):
     return cap if cap and cap > 0 else cfg.nTrades
 
 
+def _trade_mode(cfg):
+    return getattr(cfg, "trade_capture_mode", "compressed")
+
+
 def _apply_message_soa(cfg, state, key, msg):
     """Process one (8,) message against the SoA book state (+ rank and
     prefix-quantity planes). Equivalent to the reference's lax.switch over
@@ -482,13 +578,25 @@ def _apply_message_soa(cfg, state, key, msg):
         match_price = jnp.where(idx == 0, 0, price)
 
     qtm = jnp.where(is_lim, quant, 0)
+    postscan = _trade_mode(cfg) == "postscan"
     (opp_matched, opp_rank_matched, opp_cumq_matched, qtm_left, fills,
      last_fill, k) = _match_soa(_trade_cap(cfg), opp, opp_rank, opp_cumq,
-                                qtm, match_price, opp_is_ask=opp_is_ask)
-    fill_rec = (fills[0], (-s_eff * fills[1]).astype(I32), fills[2],
-                fills[3], last_fill[0], (-s_eff * last_fill[1]).astype(I32),
-                last_fill[2], last_fill[3], k, msg[MsgCol.OID],
-                msg[MsgCol.TIME_S], msg[MsgCol.TIME_NS], msg[MsgCol.TID])
+                                qtm, match_price, opp_is_ask=opp_is_ask,
+                                postscan=postscan)
+    if postscan:
+        # per-slot planes (fill, rank, p, oid, tid of the matched side);
+        # buffer assembly happens once per scan in _finalize_trades_postscan
+        fill_rec = ((-s_eff * fills[0]).astype(I32), fills[1], opp[0],
+                    opp[2], opp[3], last_fill[0],
+                    (-s_eff * last_fill[1]).astype(I32), last_fill[2],
+                    last_fill[3], k, msg[MsgCol.OID], msg[MsgCol.TIME_S],
+                    msg[MsgCol.TIME_NS], msg[MsgCol.TID])
+    else:
+        fill_rec = (fills[0], (-s_eff * fills[1]).astype(I32), fills[2],
+                    fills[3], last_fill[0],
+                    (-s_eff * last_fill[1]).astype(I32),
+                    last_fill[2], last_fill[3], k, msg[MsgCol.OID],
+                    msg[MsgCol.TIME_S], msg[MsgCol.TIME_NS], msg[MsgCol.TID])
 
     own_for_add, own_rank_for_add, own_cumq_for_add = (own, own_rank,
                                                        own_cumq)
@@ -616,7 +724,7 @@ def apply_message(cfg, book_state, key, msg):
     state, rec = _apply_message_soa(cfg, _init_soa_state(book_state), key,
                                     msg)
     recs = jax.tree.map(lambda x: x[None], rec)
-    trades = _finalize_trades(cfg, _trades_to_soa(book_state[2]), recs)
+    trades = _finalize(cfg, _trades_to_soa(book_state[2]), recs)
     a, b = state[0], state[1]
     return (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(trades))
 
@@ -633,7 +741,7 @@ def scan_messages(cfg, key, msgs, book_state):
 
     (a, b, _, _, _, _), recs = jax.lax.scan(step, soa, (keys, msgs),
                                       unroll=_unroll(cfg))
-    trades = _finalize_trades(cfg, _trades_to_soa(book_state[2]), recs)
+    trades = _finalize(cfg, _trades_to_soa(book_state[2]), recs)
     return (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(trades))
 
 
@@ -650,7 +758,7 @@ def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
 
     (a, b, _, _, _, _), (recs, asks_h, bids_h) = jax.lax.scan(
         step, soa, (keys, msgs), unroll=_unroll(cfg))
-    trades = _finalize_trades(cfg, _trades_to_soa(book_state[2]), recs)
+    trades = _finalize(cfg, _trades_to_soa(book_state[2]), recs)
     asks_hist = jnp.stack([x[-n_steps:] for x in asks_h], axis=2)
     bids_hist = jnp.stack([x[-n_steps:] for x in bids_h], axis=2)
     return (asks_hist, bids_hist, _trades_from_soa(trades))
@@ -671,7 +779,7 @@ def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
 
     (a, b, _, _, _, _), (recs, asks_hist, bids_hist) = jax.lax.scan(
         step, soa, (keys, msgs), unroll=_unroll(cfg))
-    trades = _finalize_trades(cfg, _trades_to_soa(book_state[2]), recs)
+    trades = _finalize(cfg, _trades_to_soa(book_state[2]), recs)
     last = (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(trades))
     return last, (asks_hist[-n_steps:], bids_hist[-n_steps:])
 

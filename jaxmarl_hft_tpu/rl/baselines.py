@@ -55,23 +55,29 @@ class FixedActionPolicy:
 
 
 class LearnedPolicy:
-    """Wraps a trained ActorCriticRNN; samples from the policy."""
+    """Wraps a trained ActorCriticRNN; samples from the policy, or takes the
+    distribution mode when ``deterministic`` (greedy evaluation — the
+    reference's CALC_EVAL scan only ever samples,
+    ippo_rnn_JAXMARL.py:876-975; the mode option is an addition)."""
 
-    def __init__(self, network, params):
+    def __init__(self, network, params, deterministic: bool = False):
         self.network = network
         self.params = params
+        self.deterministic = deterministic
 
     def apply(self, params, hstate, ac_in, *, key):
         hstate, pi, value = self.network.apply(self.params, hstate, ac_in)
-        action = pi.sample(seed=key)
+        action = pi.mode() if self.deterministic else pi.sample(seed=key)
         return hstate, action, value
 
 
 def rollout(env: MarlEnv, policies: List[Any], num_envs: int, num_steps: int,
             *, seed: int = 0, gru_dim: int = 64):
     """Scan a batched rollout under the given per-type policies; returns
-    (rewards (T, n_types list), dones, infos) (reference: the eval _env_step
-    scan, baseline_JAXMARL.py:624-679)."""
+    (rewards (T, n_types list), dones, infos, actions) (reference: the eval
+    _env_step scan, baseline_JAXMARL.py:624-679 — which pickles the full
+    traj_batch; actions are returned here so trajectory dumps feed the
+    per-episode plot suite)."""
     params = env.default_params
     n_per_type = list(env.config.number_of_agents_per_type)
     rng = jax.random.PRNGKey(seed)
@@ -109,12 +115,13 @@ def rollout(env: MarlEnv, policies: List[Any], num_envs: int, num_steps: int,
         new_dones = [batchify(done["agents"][i],
                               num_envs * n_per_type[i]).squeeze(-1)
                      for i in range(len(policies))]
-        return (env_state, obsv, new_dones, new_h), (rewards, done, info)
+        return (env_state, obsv, new_dones, new_h), (rewards, done, info,
+                                                     actions)
 
     keys = jax.random.split(rng, num_steps)
-    (env_state, obsv, dones, hstates), (rewards, done_seq, infos) = \
+    (env_state, obsv, dones, hstates), (rewards, done_seq, infos, actions) = \
         jax.lax.scan(step, (env_state, obsv, dones, hstates), keys)
-    return rewards, done_seq, infos
+    return rewards, done_seq, infos, actions
 
 
 def evaluate_combinations(make_env_fn, policy_sets: Dict[str, List[Any]],
@@ -128,7 +135,7 @@ def evaluate_combinations(make_env_fn, policy_sets: Dict[str, List[Any]],
     n_types = len(next(iter(policy_sets.values())))
     for combo in itertools.product("LB", repeat=n_types):
         env, policies = make_env_fn(combo, policy_sets)
-        rewards, done_seq, infos = rollout(env, policies, num_envs,
+        rewards, done_seq, infos, _ = rollout(env, policies, num_envs,
                                            num_steps, seed=seed)
         results["".join(combo)] = {
             "mean_reward_per_type": [float(np.asarray(r).mean())

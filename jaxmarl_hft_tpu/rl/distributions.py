@@ -57,6 +57,9 @@ class MultiCategorical:
         ents = [c.entropy() for c in self.categoricals]
         return jnp.sum(jnp.stack(ents, axis=-1), axis=-1)
 
+    def mode(self):
+        return jnp.stack([c.mode() for c in self.categoricals], axis=-1)
+
 
 class AutoregressiveMultiCategorical:
     """Chain-rule factorised multi-head categorical: each head's logits are a
@@ -85,6 +88,15 @@ class AutoregressiveMultiCategorical:
             logits = self.logits_fn(self.actor_features, i, prev)
             lps.append(Categorical(logits).log_prob(actions[..., i]))
         return jnp.sum(jnp.stack(lps, axis=-1), axis=-1)
+
+    def mode(self):
+        """Greedy chain-rule decode: each head's argmax conditions the
+        next head (the deterministic analogue of sample)."""
+        modes: List[jax.Array] = []
+        for i in range(len(self.action_dims)):
+            logits = self.logits_fn(self.actor_features, i, modes)
+            modes.append(Categorical(logits).mode())
+        return jnp.stack(modes, axis=-1)
 
     def entropy(self):
         """Sum of conditional entropies. When no conditioning actions are

@@ -405,17 +405,21 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
         return _chunk_jits[n]
 
     def _eval_rollout(eval_env, train_states, rng, n_envs, n_steps):
-        """Stochastic-policy rollout on the eval env; returns per-type mean
-        rewards (reference: the CALC_EVAL on-device eval scan,
-        ippo_rnn_JAXMARL.py:876-975, here run between updates)."""
+        """Policy rollout on the eval env; returns per-type mean rewards
+        (reference: the CALC_EVAL on-device eval scan,
+        ippo_rnn_JAXMARL.py:876-975, here run between updates). Set
+        EVAL_DETERMINISTIC: true in the RL config for greedy (mode) actions
+        instead of sampling — an addition over the reference."""
         from .baselines import LearnedPolicy, rollout
         from .networks import ActorCriticRNN
+        deterministic = bool(config.get("EVAL_DETERMINISTIC", False))
         policies = []
         for i, ts in enumerate(train_states):
             net = ActorCriticRNN(_action_dims(eval_env.action_spaces[i]),
                                  config=config)
-            policies.append(LearnedPolicy(net, ts.params))
-        rewards, dones, infos = rollout(
+            policies.append(LearnedPolicy(net, ts.params,
+                                          deterministic=deterministic))
+        rewards, dones, infos, _ = rollout(
             eval_env, policies, n_envs, n_steps,
             seed=int(jax.random.randint(rng, (), 0, 2**20)),
             gru_dim=config["GRU_HIDDEN_DIM"])

@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--fc-dim", type=int, default=64)
     ap.add_argument("--out", type=str, default="eval_results.json")
     ap.add_argument("--save-trajectories", type=str, default=None)
+    ap.add_argument("--greedy", action="store_true",
+                    help="deterministic (mode) actions for learned policies "
+                         "instead of sampling")
     args = ap.parse_args()
 
     from jaxmarl_hft_tpu.config.io import load_config
@@ -105,14 +108,15 @@ def main():
                 if restored is not None:
                     net = ActorCriticRNN(_action_dims(env.action_spaces[i]),
                                          config=net_cfg)
-                    policies.append(LearnedPolicy(net, restored[i]))
+                    policies.append(LearnedPolicy(
+                        net, restored[i], deterministic=args.greedy))
                 else:
                     policies.append(RandomPolicy(env.action_spaces[i]))
             else:
                 policies.append(FixedActionPolicy(0))
-        rewards, dones, infos = rollout(env, policies, args.num_envs,
-                                        args.num_steps,
-                                        gru_dim=args.gru_dim)
+        rewards, dones, infos, actions = rollout(
+            env, policies, args.num_envs, args.num_steps,
+            gru_dim=args.gru_dim)
         name = "".join(combo)
         results[name] = {
             "mean_reward_per_type": [float(np.asarray(r).mean())
@@ -124,7 +128,11 @@ def main():
             os.makedirs(args.save_trajectories, exist_ok=True)
             with open(os.path.join(args.save_trajectories,
                                    f"traj_{name}.pkl"), "wb") as f:
-                pickle.dump(jax.device_get((rewards, infos)), f)
+                pickle.dump(jax.device_get(
+                    {"rewards": rewards, "infos": infos,
+                     "actions": actions, "dones": dones,
+                     "combo": name,
+                     "agent_names": [n for n, _ in base_cfg.agents]}), f)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)

@@ -7,7 +7,7 @@ entrypoint (:1145-1274). Uses argparse + JSON/YAML instead of hydra/wandb
 (dataclass defaults < env-config file < CLI/RL-config overrides).
 
 Usage:
-    python scripts/train.py --env-config configs/2_player_fq_fqc.json \
+    python scripts/train.py --env-config configs/2_player_fq_fqc_synth.json \
         --rl-config configs/ippo_2player.yaml --num-updates 10
 """
 import argparse

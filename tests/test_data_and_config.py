@@ -154,10 +154,16 @@ def test_reference_presets_load():
 
 
 def test_own_presets_load():
+    """All shipped presets parse; the *_synth demo variants (and only those)
+    carry synthetic data — same-named reference imports must keep the
+    reference's real-data settings (tests/test_reference_presets.py)."""
     for f in os.listdir("configs"):
         if f.endswith(".json"):
             cfg = load_config(os.path.join("configs", f))
-            assert cfg.world_config.synthetic_data
+            if f.endswith("_synth.json") or f == "3type_mm_dir_exec.json":
+                assert cfg.world_config.synthetic_data, f
+            else:
+                assert not cfg.world_config.synthetic_data, f
 
 
 def test_lobster_loader_from_csv_files(tmp_path):

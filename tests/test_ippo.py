@@ -108,7 +108,7 @@ def test_train_sharded_matches_unsharded(env):
 def test_baseline_rollout(env):
     policies = [RandomPolicy(env.action_spaces[0]),
                 FixedActionPolicy(0)]
-    rewards, done_seq, infos = rollout(env, policies, num_envs=4,
+    rewards, done_seq, infos, _ = rollout(env, policies, num_envs=4,
                                        num_steps=8, seed=0)
     assert np.asarray(rewards[0]).shape == (8, 4, 1)
     assert np.all(np.isfinite(np.asarray(rewards[0])))
@@ -192,6 +192,6 @@ def test_baseline_rollout_single_env(env):
     """rollout with num_envs=1: the env axis must survive action squeezing
     (a bare .squeeze() used to collapse it and crash the vmapped step)."""
     policies = [RandomPolicy(sp) for sp in env.action_spaces]
-    rewards, dones, infos = rollout(env, policies, num_envs=1, num_steps=4,
+    rewards, dones, infos, _ = rollout(env, policies, num_envs=1, num_steps=4,
                                     seed=0)
     assert all(np.asarray(r).shape[:2] == (4, 1) for r in rewards)

@@ -1,0 +1,116 @@
+"""Postscan trade-capture equivalence.
+
+``trade_capture_mode="postscan"`` (default) assembles the trade buffer once
+per scan from per-slot fill planes via an exact one-hot matmul row-gather
+(engine._finalize_trades_postscan); "compressed" is the round-1 per-message
+(cap, nOrders) extraction path. The two must be bit-identical for every
+cancel mode, capture cap, and message mix — the reference semantics
+themselves are pinned by the oracle battery (test_engine_vs_reference.py),
+which runs the default (postscan) path.
+
+Reference: gymnax_exchange/jaxob/JaxOrderBookArrays.py:172-220 (trade
+append + .at[-1] overflow semantics).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jaxmarl_hft_tpu.config.structs import LobConfig
+from jaxmarl_hft_tpu.lob import engine
+
+I32 = jnp.int32
+
+
+def _rand_stream(key, n_msgs, p0=100_000):
+    ks = jax.random.split(key, 8)
+    types = jax.random.choice(ks[0], jnp.array([0, 1, 1, 1, 2, 2, 4, 4]),
+                              (n_msgs,))
+    sides = jax.random.choice(ks[1], jnp.array([-1, 1]), (n_msgs,))
+    quants = jax.random.randint(ks[2], (n_msgs,), 1, 200)
+    prices = p0 + 100 * jax.random.randint(ks[3], (n_msgs,), -10, 11)
+    oids = jax.random.randint(ks[4], (n_msgs,), 1, 40)   # forced collisions
+    ts = jnp.cumsum(jax.random.randint(ks[5], (n_msgs,), 0, 2))
+    tn = jax.random.randint(ks[6], (n_msgs,), 0, 1000)
+    return jnp.stack([types, sides, quants, prices, oids, oids, ts, tn],
+                     axis=1).astype(I32)
+
+
+def _run(cfg, key, msgs, n_orders, n_trades):
+    book = (engine.init_orderside(n_orders), engine.init_orderside(n_orders),
+            engine.init_trades(n_trades))
+    return jax.jit(engine.scan_messages, static_argnums=0)(cfg, key, msgs,
+                                                           book)
+
+
+@pytest.mark.parametrize("cancel_mode", [0, 1, 2, 3])
+@pytest.mark.parametrize("cap", [0, 16, 3])
+def test_postscan_matches_compressed(cancel_mode, cap):
+    n_orders, n_trades = 30, 20
+    cfg_c = LobConfig(nOrders=n_orders, nTrades=n_trades,
+                      cancel_mode=cancel_mode, trade_capture_cap=cap,
+                      trade_capture_mode="compressed")
+    cfg_p = dataclasses.replace(cfg_c, trade_capture_mode="postscan")
+    for seed in range(4):
+        key = jax.random.PRNGKey(seed)
+        msgs = _rand_stream(jax.random.fold_in(key, 1), 120)
+        out_c = _run(cfg_c, key, msgs, n_orders, n_trades)
+        out_p = _run(cfg_p, key, msgs, n_orders, n_trades)
+        for name, a, b in zip(("asks", "bids", "trades"), out_c, out_p):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"{name} cm={cancel_mode} cap={cap} seed={seed}")
+
+
+def test_postscan_big_sweep_overflows_buffer():
+    """Huge aggressive orders: single messages filling dozens of standing
+    orders exercise the rank-prefix extraction and the .at[-1] overflow
+    wrap in both modes."""
+    n_orders, n_trades = 40, 12
+    key = jax.random.PRNGKey(7)
+    rows = []
+    # build depth: 30 small asks, then giant bids sweeping them repeatedly
+    for i in range(30):
+        rows.append([1, -1, 3, 100_000 + 100 * (i % 7), 100 + i, 100 + i,
+                     1, i])
+    for j in range(8):
+        rows.append([1, 1, 500, 101_000, 500 + j, 500 + j, 2, j])
+        for i in range(10):
+            rows.append([1, -1, 2, 100_000 + 100 * (i % 5), 900 + 20 * j + i,
+                         900 + 20 * j + i, 3 + j, i])
+    msgs = jnp.asarray(rows, dtype=I32)
+    cfg_c = LobConfig(nOrders=n_orders, nTrades=n_trades,
+                      trade_capture_mode="compressed")
+    cfg_p = dataclasses.replace(cfg_c, trade_capture_mode="postscan")
+    out_c = _run(cfg_c, key, msgs, n_orders, n_trades)
+    out_p = _run(cfg_p, key, msgs, n_orders, n_trades)
+    for name, a, b in zip(("asks", "bids", "trades"), out_c, out_p):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    # the stream must actually overflow the 12-row buffer for the test to
+    # mean anything
+    assert int((np.asarray(out_c[2])[:, 0] != -1).sum()) == n_trades
+
+
+def test_postscan_partial_buffer_start():
+    """A partially-filled initial trade buffer (mid-scan resume case): the
+    base-slot search must agree between modes."""
+    n_orders, n_trades = 30, 20
+    cfg_c = LobConfig(nOrders=n_orders, nTrades=n_trades,
+                      trade_capture_mode="compressed")
+    cfg_p = dataclasses.replace(cfg_c, trade_capture_mode="postscan")
+    key = jax.random.PRNGKey(11)
+    msgs = _rand_stream(jax.random.fold_in(key, 3), 60)
+    pre = np.full((n_trades, 8), -1, np.int32)
+    pre[:5] = np.arange(40, dtype=np.int32).reshape(5, 8)  # 5 occupied rows
+    book_c = (engine.init_orderside(n_orders), engine.init_orderside(n_orders),
+              jnp.asarray(pre))
+    out_c = jax.jit(engine.scan_messages, static_argnums=0)(
+        cfg_c, key, msgs, book_c)
+    out_p = jax.jit(engine.scan_messages, static_argnums=0)(
+        cfg_p, key, msgs, book_c)
+    for name, a, b in zip(("asks", "bids", "trades"), out_c, out_p):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
