@@ -373,17 +373,17 @@ def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
 def get_scan_fns(cfg):
     """Engine selection by cfg.matching_engine:
     'exact'  — reference slot layout, rank-plane matcher (bit-parity);
-    'sorted' — compacted sorted sides, O(n)/message (lax; slow on TPU —
-               its dynamic rolls serialise under XLA);
-    'pallas' — the sorted algorithm as a TPU Pallas kernel
-               (ops/book_scan.py); the one-time world-replay scan uses the
-               lax sorted path (layout-compatible)."""
+    'sorted' — compacted sorted sides, O(n)/message (lax).
+
+    A Pallas sorted-book kernel existed through round 1 (ops/book_scan.py)
+    and was retired in round 2: correctness-validated on hardware but 1.7x
+    slower than the lax exact engine at production shapes (123.5 vs 70.9 ms
+    per 2048x120 messages) with Mosaic ~5x off the VPU roofline — the
+    lax+XLA path is the right TPU substrate for this op mix. Full record:
+    BASELINE.md "Engine-backend head-to-head"."""
     eng = getattr(cfg, "matching_engine", "sorted")
     import sys
     mod = sys.modules[__name__]
-    if eng == "pallas":
-        from ..ops import book_scan
-        return mod.scan_messages, book_scan.scan_messages_save_bidask
     if eng == "sorted":
         return mod.scan_messages, mod.scan_messages_save_bidask
     return ex.scan_messages, ex.scan_messages_save_bidask

@@ -70,7 +70,7 @@ def make_stream(kind, n_msgs, rng, p0=2_000_000):
 
 def main():
     n_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    engines = sys.argv[2:] or ["exact", "pallas"]
+    engines = sys.argv[2:] or ["exact"]
     n_msgs = 112
 
     from reference_oracle import init_book_messages
@@ -95,9 +95,6 @@ def main():
 
     for eng in engines:
         ecfg = replace_cfg(cfg, matching_engine=eng)
-        if eng == "pallas":
-            from jaxmarl_hft_tpu.ops import book_scan
-            scan = book_scan.scan_messages_save_bidask
         elif eng == "sorted":
             scan = engine_sorted.scan_messages_save_bidask
         else:

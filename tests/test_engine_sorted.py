@@ -157,9 +157,8 @@ def test_env_equivalence_sorted_vs_exact():
 @pytest.mark.parametrize("cap", [2, 16])
 def test_capped_trade_capture_matches_exact(cap):
     """trade_capture_cap must apply to the sorted engine too (it is the
-    production knob and the pallas kernel's documented drop-in fallback):
-    identical trade buffers vs the exact engine whenever no message fills
-    more than `cap` orders."""
+    production knob): identical trade buffers vs the exact engine whenever
+    no message fills more than `cap` orders."""
     cfg = LobConfig(trade_capture_cap=cap)
     rng = np.random.default_rng(7)
     msgs = np.concatenate([init_book_messages(rng),
