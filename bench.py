@@ -154,7 +154,7 @@ def main():
                          "nTrades, fully exact; 16 = production default, "
                          "exact unless one message fills >16 orders)")
     ap.add_argument("--trade-mode", type=str, default="compressed",
-                    choices=["postscan", "compressed"],
+                    choices=["postscan", "compressed", "inscan"],
                     help="trade-buffer assembly (bit-identical; postscan "
                          "reconstructs once per scan and is cap-independent)")
     args = ap.parse_args()

@@ -56,6 +56,11 @@ class LobConfig:
     #                (tests/test_trade_postscan.py, on-chip probe) but
     #                measured slower at production shapes on v5e — kept as an
     #                opt-in lab path (BASELINE.md round-2 notes).
+    # "inscan"     — the trade SoA rides in the scan carry and each message
+    #                writes its fills via one (nTrades, nOrders) rank-offset
+    #                one-hot; no records, no finalize. Bit-identical at
+    #                cap = nTrades (gap-slot semantics differ beyond a
+    #                smaller cap's contract, as in the sorted engine).
     trade_capture_mode: str = "compressed"
     # lax.scan unroll factor for the message scan (semantics-preserving).
     # Measured neutral on v5e at production shapes (scripts/probe_unroll.py:

@@ -359,6 +359,47 @@ def _finalize(cfg, init_trades, recs):
     return _finalize_trades(cfg, init_trades, recs)
 
 
+def _write_trades_inscan(cfg, trades, fill, rank, opp_p, opp_oid, opp_tid,
+                         k, last_fill, s_eff, aoid, ts_v, tn_v, atid):
+    """Direct in-scan trade-buffer write (trade_capture_mode="inscan"):
+    this message's fills land at slots [base, base+k) via a single
+    (nTrades, nOrders) rank-offset one-hot; the buffer is carried through
+    the scan, so there are no per-message records and no finalize pass.
+
+    Bit-identical to the compressed/postscan assembly whenever cap covers
+    every message's fill count — in particular always at cap = nTrades.
+    When a message overflows a smaller cap, the compressed path leaves
+    allocated gap slots while this incremental path reuses them (the same
+    documented caveat as engine_sorted._match_sorted; both are outside the
+    cap contract). Reference semantics: match_order :205-217 sequential
+    append + .at[-1] overflow wrap."""
+    nT = cfg.nTrades
+    cap = _trade_cap(cfg)
+    first_empty = _first_true(trades[4] == -1)
+    base = jnp.where(first_empty >= 0, first_empty, nT - 1)
+    t_idx = jax.lax.broadcasted_iota(I32, (nT,), 0)
+    filled = fill > 0
+    MASK = (filled[None, :] & ((base + rank)[None, :] == t_idx[:, None])
+            & (rank[None, :] < cap))
+    row_has = jnp.any(MASK, axis=1) & (t_idx < nT - 1)
+
+    def pick(v):
+        return jnp.sum(jnp.where(MASK, v[None, :], 0), axis=1).astype(I32)
+
+    b = lambda s: jnp.full((nT,), s, I32)
+    vals = (pick(opp_p), (-s_eff * pick(fill)).astype(I32), pick(opp_oid),
+            b(aoid), b(ts_v), b(tn_v), pick(opp_tid), b(atid))
+    new = [jnp.where(row_has, v, cur).astype(I32)
+           for v, cur in zip(vals, trades)]
+
+    lp, lq, loid, ltid = last_fill
+    write_last = (k > 0) & (base + k - 1 >= nT - 1)
+    last_vals = (lp, (-s_eff * lq).astype(I32), loid, aoid, ts_v, tn_v,
+                 ltid, atid)
+    return tuple(jnp.where(write_last & (t_idx == nT - 1), lv, x)
+                 for lv, x in zip(last_vals, new))
+
+
 def _add_order_soa(own, own_rank, own_cumq, own_is_bid, price, quant, oid_v,
                    tid_v, ts_v, tn_v):
     """Insert at the first row containing any -1 (reference add_order :62-83
@@ -544,8 +585,14 @@ def _apply_message_soa(cfg, state, key, msg):
     branchless: every path is computed on masked data and merged with
     selects — a single matcher invocation per message. Returns (new_state,
     fill_record); trade-buffer assembly happens once per scan in
-    _finalize_trades."""
-    asks, bids, rank_a, rank_b, cumq_a, cumq_b = state
+    _finalize_trades — except in "inscan" mode, where the trade SoA rides
+    in the carry and is written directly per message."""
+    mode = _trade_mode(cfg)
+    inscan = mode == "inscan"
+    if inscan:
+        asks, bids, rank_a, rank_b, cumq_a, cumq_b, trades_soa = state
+    else:
+        asks, bids, rank_a, rank_b, cumq_a, cumq_b = state
     t = msg[MsgCol.TYPE]
     s_eff = jnp.where(t == 4, -msg[MsgCol.SIDE], msg[MsgCol.SIDE])
     idx = _branch_index(t, s_eff)
@@ -578,12 +625,20 @@ def _apply_message_soa(cfg, state, key, msg):
         match_price = jnp.where(idx == 0, 0, price)
 
     qtm = jnp.where(is_lim, quant, 0)
-    postscan = _trade_mode(cfg) == "postscan"
+    postscan = mode == "postscan"
     (opp_matched, opp_rank_matched, opp_cumq_matched, qtm_left, fills,
      last_fill, k) = _match_soa(_trade_cap(cfg), opp, opp_rank, opp_cumq,
                                 qtm, match_price, opp_is_ask=opp_is_ask,
-                                postscan=postscan)
-    if postscan:
+                                postscan=postscan or inscan)
+    if inscan:
+        # write this message's fills straight into the carried trade SoA;
+        # no per-message record leaves the scan
+        new_trades_soa = _write_trades_inscan(
+            cfg, trades_soa, fills[0], fills[1], opp[0], opp[2], opp[3], k,
+            last_fill, s_eff, msg[MsgCol.OID], msg[MsgCol.TIME_S],
+            msg[MsgCol.TIME_NS], msg[MsgCol.TID])
+        fill_rec = ()
+    elif postscan:
         # per-slot planes (fill, rank, p, oid, tid of the matched side);
         # buffer assembly happens once per scan in _finalize_trades_postscan
         fill_rec = ((-s_eff * fills[0]).astype(I32), fills[1], opp[0],
@@ -652,6 +707,9 @@ def _apply_message_soa(cfg, state, key, msg):
     new_rank_b = jnp.where(active_is_bid, new_own_rank, new_opp_rank)
     new_cumq_a = jnp.where(active_is_bid, new_opp_cumq, new_own_cumq)
     new_cumq_b = jnp.where(active_is_bid, new_own_cumq, new_opp_cumq)
+    if inscan:
+        return (new_asks, new_bids, new_rank_a, new_rank_b, new_cumq_a,
+                new_cumq_b, new_trades_soa), fill_rec
     return (new_asks, new_bids, new_rank_a, new_rank_b, new_cumq_a,
             new_cumq_b), fill_rec
 
@@ -718,13 +776,28 @@ def _init_soa_state(book_state):
     return (asks, bids, rank_a, rank_b, cumq_a, cumq_b)
 
 
+def _scan_init(cfg, book_state):
+    soa = _init_soa_state(book_state)
+    if _trade_mode(cfg) == "inscan":
+        soa = soa + (_trades_to_soa(book_state[2]),)
+    return soa
+
+
+def _scan_trades(cfg, final_state, init_trades_rows, recs):
+    """Final trade planes for a scan: carried SoA (inscan) or record
+    assembly (compressed / postscan)."""
+    if _trade_mode(cfg) == "inscan":
+        return final_state[6]
+    return _finalize(cfg, _trades_to_soa(init_trades_rows), recs)
+
+
 def apply_message(cfg, book_state, key, msg):
     """Process a single (8,) message through a row-major book state
     (reference: cond_type_side :555-637)."""
-    state, rec = _apply_message_soa(cfg, _init_soa_state(book_state), key,
+    state, rec = _apply_message_soa(cfg, _scan_init(cfg, book_state), key,
                                     msg)
     recs = jax.tree.map(lambda x: x[None], rec)
-    trades = _finalize(cfg, _trades_to_soa(book_state[2]), recs)
+    trades = _scan_trades(cfg, state, book_state[2], recs)
     a, b = state[0], state[1]
     return (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(trades))
 
@@ -733,15 +806,15 @@ def scan_messages(cfg, key, msgs, book_state):
     """Process all messages, returning the final book state only
     (reference: scan_through_entire_array :736-756)."""
     keys = jax.random.split(key, msgs.shape[0])
-    soa = _init_soa_state(book_state)
+    soa = _scan_init(cfg, book_state)
 
     def step(state, xs):
         k, m = xs
         return _apply_message_soa(cfg, state, k, m)
 
-    (a, b, _, _, _, _), recs = jax.lax.scan(step, soa, (keys, msgs),
-                                      unroll=_unroll(cfg))
-    trades = _finalize(cfg, _trades_to_soa(book_state[2]), recs)
+    final, recs = jax.lax.scan(step, soa, (keys, msgs), unroll=_unroll(cfg))
+    a, b = final[0], final[1]
+    trades = _scan_trades(cfg, final, book_state[2], recs)
     return (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(trades))
 
 
@@ -749,16 +822,16 @@ def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
     """As scan_messages, saving the last ``n_steps`` intermediate book sides
     (reference: scan_through_entire_array_save_states :758-789)."""
     keys = jax.random.split(key, msgs.shape[0])
-    soa = _init_soa_state(book_state)
+    soa = _scan_init(cfg, book_state)
 
     def step(state, xs):
         k, m = xs
         new, rec = _apply_message_soa(cfg, state, k, m)
         return new, (rec, new[0], new[1])
 
-    (a, b, _, _, _, _), (recs, asks_h, bids_h) = jax.lax.scan(
+    final, (recs, asks_h, bids_h) = jax.lax.scan(
         step, soa, (keys, msgs), unroll=_unroll(cfg))
-    trades = _finalize(cfg, _trades_to_soa(book_state[2]), recs)
+    trades = _scan_trades(cfg, final, book_state[2], recs)
     asks_hist = jnp.stack([x[-n_steps:] for x in asks_h], axis=2)
     bids_hist = jnp.stack([x[-n_steps:] for x in bids_h], axis=2)
     return (asks_hist, bids_hist, _trades_from_soa(trades))
@@ -769,7 +842,7 @@ def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
     the last ``n_steps`` messages
     (reference: scan_through_entire_array_save_bidask :791-823)."""
     keys = jax.random.split(key, msgs.shape[0])
-    soa = _init_soa_state(book_state)
+    soa = _scan_init(cfg, book_state)
 
     def step(state, xs):
         k, m = xs
@@ -777,10 +850,11 @@ def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
         best_ask, best_bid = _best_bid_ask_quants_soa(cfg, new[0], new[1])
         return new, (rec, best_ask, best_bid)
 
-    (a, b, _, _, _, _), (recs, asks_hist, bids_hist) = jax.lax.scan(
+    final, (recs, asks_hist, bids_hist) = jax.lax.scan(
         step, soa, (keys, msgs), unroll=_unroll(cfg))
-    trades = _finalize(cfg, _trades_to_soa(book_state[2]), recs)
-    last = (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(trades))
+    trades = _scan_trades(cfg, final, book_state[2], recs)
+    last = (_side_from_soa(final[0]), _side_from_soa(final[1]),
+            _trades_from_soa(trades))
     return last, (asks_hist[-n_steps:], bids_hist[-n_steps:])
 
 

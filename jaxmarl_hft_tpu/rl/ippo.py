@@ -76,7 +76,20 @@ def default_train_config(**overrides) -> Dict[str, Any]:
         "ANNEAL_LR": [True, True],
     }
     cfg.update(overrides)
+    # sweep grids override per-type hyperparams with scalars (reference
+    # SWEEP_PARAMETERS set e.g. a single LR across types,
+    # ippo_rnn_JAXMARL_2player.yaml:69-96); broadcast them back to lists
+    n_types = max((len(v) for k, v in cfg.items()
+                   if k in _PER_TYPE_KEYS and isinstance(v, (list, tuple))),
+                  default=2)
+    for k in _PER_TYPE_KEYS:
+        if not isinstance(cfg[k], (list, tuple)):
+            cfg[k] = [cfg[k]] * n_types
     return cfg
+
+
+_PER_TYPE_KEYS = ("LR", "GAMMA", "GAE_LAMBDA", "ENT_COEF", "VF_COEF",
+                  "MAX_GRAD_NORM", "ANNEAL_LR")
 
 
 def _action_dims(space) -> Any:

@@ -71,7 +71,21 @@ def main():
                     help="scan N update steps per jitted program (one host "
                          "metrics fetch per chunk instead of per update; "
                          "bit-identical math)")
+    ap.add_argument("--sweep-parallel", type=int, default=1,
+                    help="run SWEEP_PARAMETERS grid points in N parallel "
+                         "worker processes (each its own JAX runtime; the "
+                         "reference parallelises via WandB sweep agents, "
+                         "ippo_rnn_JAXMARL.py:1168-1274)")
+    ap.add_argument("--sweep-point", type=int, default=None,
+                    help="internal: run only grid point N of the sweep")
+    ap.add_argument("--platform", type=str, default=None,
+                    choices=["cpu", "tpu"],
+                    help="force a JAX platform (the axon TPU plugin ignores "
+                         "the JAX_PLATFORMS env var; this applies "
+                         "jax.config.update post-import, which works)")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from jaxmarl_hft_tpu.config.io import load_config
     from jaxmarl_hft_tpu.config.structs import (MultiAgentConfig,
@@ -120,7 +134,35 @@ def main():
         keys = list(sweep)
         grids = [sweep[k]["values"] if isinstance(sweep[k], dict)
                  else sweep[k] for k in keys]
-        for point in it.product(*grids):
+        points = list(it.product(*grids))
+
+        if args.sweep_parallel > 1 and args.sweep_point is None:
+            # dispatch each grid point to its own interpreter, N at a time
+            # (process isolation = independent XLA runtimes/devices; the
+            # reference gets this from `wandb agent` workers)
+            import subprocess
+            base = [sys.executable, os.path.abspath(__file__)]
+            for a in sys.argv[1:]:
+                base.append(a)
+            running, rc = [], 0
+            for i in range(len(points)):
+                cmd = list(base) + ["--sweep-point", str(i)]
+                if args.log_file:
+                    j = cmd.index("--log-file")
+                    cmd[j + 1] = f"{args.log_file}.point{i}"
+                running.append((i, subprocess.Popen(cmd)))
+                while len(running) >= args.sweep_parallel:
+                    i0, p0 = running.pop(0)
+                    rc |= p0.wait()
+            for i0, p0 in running:
+                rc |= p0.wait()
+            if rc:
+                raise SystemExit("one or more sweep workers failed")
+            return
+
+        for pt_idx, point in enumerate(points):
+            if args.sweep_point is not None and pt_idx != args.sweep_point:
+                continue
             overrides = dict(rl_overrides)
             overrides.update(dict(zip(keys, point)))
             point_cfg = ma_cfg

@@ -1,12 +1,13 @@
-"""Postscan trade-capture equivalence.
+"""Trade-capture mode equivalence.
 
-``trade_capture_mode="postscan"`` (default) assembles the trade buffer once
-per scan from per-slot fill planes via an exact one-hot matmul row-gather
-(engine._finalize_trades_postscan); "compressed" is the round-1 per-message
-(cap, nOrders) extraction path. The two must be bit-identical for every
-cancel mode, capture cap, and message mix — the reference semantics
-themselves are pinned by the oracle battery (test_engine_vs_reference.py),
-which runs the default (postscan) path.
+"compressed" (default) extracts per-message records; "postscan" assembles
+the buffer once per scan from per-slot fill planes via an exact one-hot
+matmul row-gather (engine._finalize_trades_postscan); "inscan" carries the
+trade SoA through the scan and writes fills directly
+(engine._write_trades_inscan). All three must be bit-identical wherever
+their contracts coincide — every cancel mode, cap, and message mix for
+postscan; cap = nTrades for inscan — while the reference semantics
+themselves are pinned by the oracle battery (test_engine_vs_reference.py).
 
 Reference: gymnax_exchange/jaxob/JaxOrderBookArrays.py:172-220 (trade
 append + .at[-1] overflow semantics).
@@ -64,6 +65,27 @@ def test_postscan_matches_compressed(cancel_mode, cap):
                 err_msg=f"{name} cm={cancel_mode} cap={cap} seed={seed}")
 
 
+@pytest.mark.parametrize("cancel_mode", [0, 1, 2, 3])
+def test_inscan_matches_compressed_fully_exact(cancel_mode):
+    """The carried-buffer in-scan write mode at cap = nTrades (where its
+    gap-slot semantics provably coincide with the compressed allocation,
+    see engine._write_trades_inscan)."""
+    n_orders, n_trades = 30, 20
+    cfg_c = LobConfig(nOrders=n_orders, nTrades=n_trades,
+                      cancel_mode=cancel_mode, trade_capture_cap=0,
+                      trade_capture_mode="compressed")
+    cfg_i = dataclasses.replace(cfg_c, trade_capture_mode="inscan")
+    for seed in range(4):
+        key = jax.random.PRNGKey(seed)
+        msgs = _rand_stream(jax.random.fold_in(key, 1), 120)
+        out_c = _run(cfg_c, key, msgs, n_orders, n_trades)
+        out_i = _run(cfg_i, key, msgs, n_orders, n_trades)
+        for name, a, b in zip(("asks", "bids", "trades"), out_c, out_i):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"{name} cm={cancel_mode} seed={seed}")
+
+
 def test_postscan_big_sweep_overflows_buffer():
     """Huge aggressive orders: single messages filling dozens of standing
     orders exercise the rank-prefix extraction and the .at[-1] overflow
@@ -83,12 +105,13 @@ def test_postscan_big_sweep_overflows_buffer():
     msgs = jnp.asarray(rows, dtype=I32)
     cfg_c = LobConfig(nOrders=n_orders, nTrades=n_trades,
                       trade_capture_mode="compressed")
-    cfg_p = dataclasses.replace(cfg_c, trade_capture_mode="postscan")
     out_c = _run(cfg_c, key, msgs, n_orders, n_trades)
-    out_p = _run(cfg_p, key, msgs, n_orders, n_trades)
-    for name, a, b in zip(("asks", "bids", "trades"), out_c, out_p):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
-                                      err_msg=name)
+    for mode in ("postscan", "inscan"):
+        out_m = _run(dataclasses.replace(cfg_c, trade_capture_mode=mode),
+                     key, msgs, n_orders, n_trades)
+        for name, a, b in zip(("asks", "bids", "trades"), out_c, out_m):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"{mode} {name}")
     # the stream must actually overflow the 12-row buffer for the test to
     # mean anything
     assert int((np.asarray(out_c[2])[:, 0] != -1).sum()) == n_trades
