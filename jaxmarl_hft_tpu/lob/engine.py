@@ -359,12 +359,20 @@ def _finalize(cfg, init_trades, recs):
     return _finalize_trades(cfg, init_trades, recs)
 
 
-def _write_trades_inscan(cfg, trades, fill, rank, opp_p, opp_oid, opp_tid,
-                         k, last_fill, s_eff, aoid, ts_v, tn_v, atid):
+def _write_trades_inscan(cfg, tstate, fill, rank, opp_p, opp_oid, opp_tid,
+                         k, last_fill, s_eff, msg_idx):
     """Direct in-scan trade-buffer write (trade_capture_mode="inscan"):
-    this message's fills land at slots [base, base+k) via a single
-    (nTrades, nOrders) rank-offset one-hot; the buffer is carried through
-    the scan, so there are no per-message records and no finalize pass.
+    this message's fills land at slots [base, base+min(k, cap)) via a
+    single (nTrades, nOrders) rank-offset one-hot compare; the buffer is
+    carried through the scan, so there are no per-message records and no
+    finalize pass.
+
+    The carry is reduced to the 4 *passive* columns plus a writer-message
+    index plane (P, Q, POID, PTID, MIDX) — the 4 aggressor columns are
+    per-message scalars reconstructed once per scan from MIDX by
+    _scan_trades, which trims 3/8 of the carried trade state's HBM
+    traffic. Occupancy is MIDX != -1 (-2 marks rows occupied before the
+    scan), matching the compressed path's trades[time_s] == -1 probe.
 
     Bit-identical to the compressed/postscan assembly whenever cap covers
     every message's fill count — in particular always at cap = nTrades.
@@ -373,31 +381,36 @@ def _write_trades_inscan(cfg, trades, fill, rank, opp_p, opp_oid, opp_tid,
     documented caveat as engine_sorted._match_sorted; both are outside the
     cap contract). Reference semantics: match_order :205-217 sequential
     append + .at[-1] overflow wrap."""
+    P, Q, POID, PTID, MIDX = tstate
     nT = cfg.nTrades
     cap = _trade_cap(cfg)
-    first_empty = _first_true(trades[4] == -1)
+    first_empty = _first_true(MIDX == -1)
     base = jnp.where(first_empty >= 0, first_empty, nT - 1)
     t_idx = jax.lax.broadcasted_iota(I32, (nT,), 0)
     filled = fill > 0
-    MASK = (filled[None, :] & ((base + rank)[None, :] == t_idx[:, None])
-            & (rank[None, :] < cap))
-    row_has = jnp.any(MASK, axis=1) & (t_idx < nT - 1)
+    # slots [base, base+min(k, cap)) are written, slot base+r by the fill
+    # of rank r; one fused compare instead of mask & rank-window & any
+    combined = jnp.where(filled & (rank < cap), base + rank, -1)
+    MASK = combined[None, :] == t_idx[:, None]
+    row_has = ((t_idx >= base) & (t_idx < base + jnp.minimum(k, cap))
+               & (t_idx < nT - 1))
 
     def pick(v):
         return jnp.sum(jnp.where(MASK, v[None, :], 0), axis=1).astype(I32)
 
-    b = lambda s: jnp.full((nT,), s, I32)
-    vals = (pick(opp_p), (-s_eff * pick(fill)).astype(I32), pick(opp_oid),
-            b(aoid), b(ts_v), b(tn_v), pick(opp_tid), b(atid))
-    new = [jnp.where(row_has, v, cur).astype(I32)
-           for v, cur in zip(vals, trades)]
+    newP = jnp.where(row_has, pick(opp_p), P)
+    newQ = jnp.where(row_has, (-s_eff * pick(fill)).astype(I32), Q)
+    newPOID = jnp.where(row_has, pick(opp_oid), POID)
+    newPTID = jnp.where(row_has, pick(opp_tid), PTID)
+    newM = jnp.where(row_has, msg_idx, MIDX)
 
     lp, lq, loid, ltid = last_fill
-    write_last = (k > 0) & (base + k - 1 >= nT - 1)
-    last_vals = (lp, (-s_eff * lq).astype(I32), loid, aoid, ts_v, tn_v,
-                 ltid, atid)
-    return tuple(jnp.where(write_last & (t_idx == nT - 1), lv, x)
-                 for lv, x in zip(last_vals, new))
+    wl = ((k > 0) & (base + k - 1 >= nT - 1)) & (t_idx == nT - 1)
+    return (jnp.where(wl, lp, newP).astype(I32),
+            jnp.where(wl, (-s_eff * lq), newQ).astype(I32),
+            jnp.where(wl, loid, newPOID).astype(I32),
+            jnp.where(wl, ltid, newPTID).astype(I32),
+            jnp.where(wl, msg_idx, newM).astype(I32))
 
 
 def _add_order_soa(own, own_rank, own_cumq, own_is_bid, price, quant, oid_v,
@@ -578,7 +591,7 @@ def _trade_mode(cfg):
     return getattr(cfg, "trade_capture_mode", "compressed")
 
 
-def _apply_message_soa(cfg, state, key, msg):
+def _apply_message_soa(cfg, state, key, msg, msg_idx=0):
     """Process one (8,) message against the SoA book state (+ rank and
     prefix-quantity planes). Equivalent to the reference's lax.switch over
     {ask_lim, bid_lim, ask_cancel, bid_cancel, noop} (:555-637) but
@@ -631,12 +644,11 @@ def _apply_message_soa(cfg, state, key, msg):
                                 qtm, match_price, opp_is_ask=opp_is_ask,
                                 postscan=postscan or inscan)
     if inscan:
-        # write this message's fills straight into the carried trade SoA;
+        # write this message's fills straight into the carried trade planes;
         # no per-message record leaves the scan
         new_trades_soa = _write_trades_inscan(
             cfg, trades_soa, fills[0], fills[1], opp[0], opp[2], opp[3], k,
-            last_fill, s_eff, msg[MsgCol.OID], msg[MsgCol.TIME_S],
-            msg[MsgCol.TIME_NS], msg[MsgCol.TID])
+            last_fill, s_eff, jnp.asarray(msg_idx, I32))
         fill_rec = ()
     elif postscan:
         # per-slot planes (fill, rank, p, oid, tid of the matched side);
@@ -779,16 +791,37 @@ def _init_soa_state(book_state):
 def _scan_init(cfg, book_state):
     soa = _init_soa_state(book_state)
     if _trade_mode(cfg) == "inscan":
-        soa = soa + (_trades_to_soa(book_state[2]),)
+        tr = _trades_to_soa(book_state[2])
+        midx = jnp.where(tr[4] == -1, -1, -2).astype(I32)
+        soa = soa + ((tr[0], tr[1], tr[2], tr[6], midx),)
     return soa
 
 
-def _scan_trades(cfg, final_state, init_trades_rows, recs):
-    """Final trade planes for a scan: carried SoA (inscan) or record
-    assembly (compressed / postscan)."""
-    if _trade_mode(cfg) == "inscan":
-        return final_state[6]
-    return _finalize(cfg, _trades_to_soa(init_trades_rows), recs)
+def _scan_trades(cfg, final_state, init_trades_rows, recs, msgs):
+    """Final trade planes for a scan: carried planes + aggressor-column
+    reconstruction (inscan) or record assembly (compressed / postscan)."""
+    if _trade_mode(cfg) != "inscan":
+        return _finalize(cfg, _trades_to_soa(init_trades_rows), recs)
+    P, Q, POID, PTID, MIDX = final_state[6]
+    init = _trades_to_soa(init_trades_rows)
+    nT = P.shape[0]
+    M = msgs.shape[0]
+    # aggressor columns of written rows come from the writing message
+    W = MIDX[:, None] == jax.lax.broadcasted_iota(I32, (nT, M), 1)
+
+    def ag(col):
+        return jnp.sum(jnp.where(W, msgs[None, :, col], 0),
+                       axis=1).astype(I32)
+
+    written = MIDX >= 0
+
+    def mix(w_v, init_v):
+        return jnp.where(written, w_v, init_v).astype(I32)
+
+    return (mix(P, init[0]), mix(Q, init[1]), mix(POID, init[2]),
+            mix(ag(MsgCol.OID), init[3]), mix(ag(MsgCol.TIME_S), init[4]),
+            mix(ag(MsgCol.TIME_NS), init[5]), mix(PTID, init[6]),
+            mix(ag(MsgCol.TID), init[7]))
 
 
 def apply_message(cfg, book_state, key, msg):
@@ -797,7 +830,7 @@ def apply_message(cfg, book_state, key, msg):
     state, rec = _apply_message_soa(cfg, _scan_init(cfg, book_state), key,
                                     msg)
     recs = jax.tree.map(lambda x: x[None], rec)
-    trades = _scan_trades(cfg, state, book_state[2], recs)
+    trades = _scan_trades(cfg, state, book_state[2], recs, msg[None])
     a, b = state[0], state[1]
     return (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(trades))
 
@@ -809,12 +842,14 @@ def scan_messages(cfg, key, msgs, book_state):
     soa = _scan_init(cfg, book_state)
 
     def step(state, xs):
-        k, m = xs
-        return _apply_message_soa(cfg, state, k, m)
+        k, m, i = xs
+        return _apply_message_soa(cfg, state, k, m, i)
 
-    final, recs = jax.lax.scan(step, soa, (keys, msgs), unroll=_unroll(cfg))
+    idxs = jnp.arange(msgs.shape[0], dtype=I32)
+    final, recs = jax.lax.scan(step, soa, (keys, msgs, idxs),
+                               unroll=_unroll(cfg))
     a, b = final[0], final[1]
-    trades = _scan_trades(cfg, final, book_state[2], recs)
+    trades = _scan_trades(cfg, final, book_state[2], recs, msgs)
     return (_side_from_soa(a), _side_from_soa(b), _trades_from_soa(trades))
 
 
@@ -825,13 +860,14 @@ def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
     soa = _scan_init(cfg, book_state)
 
     def step(state, xs):
-        k, m = xs
-        new, rec = _apply_message_soa(cfg, state, k, m)
+        k, m, i = xs
+        new, rec = _apply_message_soa(cfg, state, k, m, i)
         return new, (rec, new[0], new[1])
 
+    idxs = jnp.arange(msgs.shape[0], dtype=I32)
     final, (recs, asks_h, bids_h) = jax.lax.scan(
-        step, soa, (keys, msgs), unroll=_unroll(cfg))
-    trades = _scan_trades(cfg, final, book_state[2], recs)
+        step, soa, (keys, msgs, idxs), unroll=_unroll(cfg))
+    trades = _scan_trades(cfg, final, book_state[2], recs, msgs)
     asks_hist = jnp.stack([x[-n_steps:] for x in asks_h], axis=2)
     bids_hist = jnp.stack([x[-n_steps:] for x in bids_h], axis=2)
     return (asks_hist, bids_hist, _trades_from_soa(trades))
@@ -845,14 +881,15 @@ def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
     soa = _scan_init(cfg, book_state)
 
     def step(state, xs):
-        k, m = xs
-        new, rec = _apply_message_soa(cfg, state, k, m)
+        k, m, i = xs
+        new, rec = _apply_message_soa(cfg, state, k, m, i)
         best_ask, best_bid = _best_bid_ask_quants_soa(cfg, new[0], new[1])
         return new, (rec, best_ask, best_bid)
 
+    idxs = jnp.arange(msgs.shape[0], dtype=I32)
     final, (recs, asks_hist, bids_hist) = jax.lax.scan(
-        step, soa, (keys, msgs), unroll=_unroll(cfg))
-    trades = _scan_trades(cfg, final, book_state[2], recs)
+        step, soa, (keys, msgs, idxs), unroll=_unroll(cfg))
+    trades = _scan_trades(cfg, final, book_state[2], recs, msgs)
     last = (_side_from_soa(final[0]), _side_from_soa(final[1]),
             _trades_from_soa(trades))
     return last, (asks_hist[-n_steps:], bids_hist[-n_steps:])
