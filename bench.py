@@ -148,7 +148,7 @@ def main():
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--n-data-msg", type=int, default=100)
     ap.add_argument("--engine", type=str, default="exact",
-                    choices=["exact", "sorted"])
+                    choices=["exact", "sorted", "psort"])
     ap.add_argument("--trade-cap", type=int, default=16,
                     help="max fills recorded per single message (0 = "
                          "nTrades, fully exact; 16 = production default, "

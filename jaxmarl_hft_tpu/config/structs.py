@@ -37,7 +37,10 @@ class LobConfig:
     timePeriod: str = "2024_Dec"
     # Engine selection (not in the reference): "exact" (default) keeps the
     # reference slot layout with the rank-plane fast matcher (bit-parity);
-    # "sorted" is the experimental compacted-sorted-side variant.
+    # "psort" keeps each side priority-sorted while carrying the reference
+    # slot permutation — bit-parity AND cap-independent exact trade capture
+    # (engine_psort.py); "sorted" is the compacted-sorted-side variant
+    # (content-equal, not slot-layout-equal).
     matching_engine: str = "exact"
     # Max fills recorded per single message (0 = nTrades, fully exact). The
     # trade buffer itself still holds nTrades rows; capping only bounds how
@@ -46,9 +49,12 @@ class LobConfig:
     # (cap, nOrders). Realistic flow rarely exceeds a handful.
     trade_capture_cap: int = 0
     # Trade-buffer assembly strategy (bit-identical results, perf knob):
+    # "auto"       — (default) the measured-fastest strategy for the cap:
+    #                "compressed" when cap < nTrades, "inscan" at full
+    #                exactness (2x compressed there; BASELINE.md round-2).
     # "compressed" — per-message (cap, nOrders) one-hot extraction into
     #                compressed records + a (nTrades, M, cap) finalize
-    #                contraction (cost scales with cap). Default.
+    #                contraction (cost scales with cap).
     # "postscan"   — the scan emits per-slot (fill, rank, p, oid, tid) planes
     #                it already computes and the buffer is reconstructed once
     #                per scan with an exact one-hot matmul row-gather; cost is
@@ -61,7 +67,7 @@ class LobConfig:
     #                one-hot; no records, no finalize. Bit-identical at
     #                cap = nTrades (gap-slot semantics differ beyond a
     #                smaller cap's contract, as in the sorted engine).
-    trade_capture_mode: str = "compressed"
+    trade_capture_mode: str = "auto"
     # lax.scan unroll factor for the message scan (semantics-preserving).
     # Measured neutral on v5e at production shapes (scripts/probe_unroll.py:
     # 22.46/22.30/22.29 ms for unroll 1/2/4 at 4096x112) — XLA already keeps

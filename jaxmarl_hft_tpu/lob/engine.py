@@ -588,7 +588,14 @@ def _trade_cap(cfg):
 
 
 def _trade_mode(cfg):
-    return getattr(cfg, "trade_capture_mode", "compressed")
+    """Trade-buffer assembly strategy. "auto" picks the measured-fastest
+    bit-equal strategy for the cap (BASELINE.md round-2 ladder): compressed
+    records when the cap bounds the extraction matrix, the carried in-scan
+    write at full exactness (2x compressed there)."""
+    m = getattr(cfg, "trade_capture_mode", "auto")
+    if m == "auto":
+        return ("compressed" if _trade_cap(cfg) < cfg.nTrades else "inscan")
+    return m
 
 
 def _apply_message_soa(cfg, state, key, msg, msg_idx=0):

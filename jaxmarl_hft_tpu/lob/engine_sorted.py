@@ -373,7 +373,11 @@ def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
 def get_scan_fns(cfg):
     """Engine selection by cfg.matching_engine:
     'exact'  — reference slot layout, rank-plane matcher (bit-parity);
-    'sorted' — compacted sorted sides, O(n)/message (lax).
+    'psort'  — compacted sorted sides carrying the reference-slot
+               permutation: bit-parity AND cap-independent exact trade
+               capture (engine_psort.py);
+    'sorted' — compacted sorted sides, O(n)/message (lax), content-equal
+               but not slot-layout-equal.
 
     A Pallas sorted-book kernel existed through round 1 (ops/book_scan.py)
     and was retired in round 2: correctness-validated on hardware but 1.7x
@@ -386,4 +390,8 @@ def get_scan_fns(cfg):
     mod = sys.modules[__name__]
     if eng == "sorted":
         return mod.scan_messages, mod.scan_messages_save_bidask
+    if eng == "psort":
+        from . import engine_psort
+        return (engine_psort.scan_messages,
+                engine_psort.scan_messages_save_bidask)
     return ex.scan_messages, ex.scan_messages_save_bidask
