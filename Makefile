@@ -2,14 +2,17 @@
 # minus docker — this package runs directly on the host TPU VM).
 PY ?= python
 
+# PYTHONPATH= drops the axon TPU plugin (it lives on PYTHONPATH), so test
+# runs never touch the TPU tunnel and can run concurrently with on-chip work
 test:
-	$(PY) -m pytest tests/ -q
+	PYTHONPATH= JAX_PLATFORMS=cpu $(PY) -m pytest tests/ -q
 
 # per-file process isolation: each test file runs in its own interpreter
 # (2 at a time), so the XLA:CPU segfault-after-~40-compiles workaround in
 # tests/conftest.py is not load-bearing for suite completion
 test-isolated:
-	ls tests/test_*.py | xargs -P 2 -n 1 $(PY) -m pytest -q --no-header
+	ls tests/test_*.py | PYTHONPATH= JAX_PLATFORMS=cpu xargs -P 2 -n 1 \
+		$(PY) -m pytest -q --no-header
 
 # build the native C++ CSV parser shared library (also auto-built on first
 # use by jaxmarl_hft_tpu/data/native_csv.py)
