@@ -35,13 +35,15 @@ class LobConfig:
     dataPath: str = os.path.expanduser("~") + "/data"
     stock: str = "AMZN"
     timePeriod: str = "2024_Dec"
-    # Engine selection (not in the reference): "exact" (default) keeps the
-    # reference slot layout with the rank-plane fast matcher (bit-parity);
-    # "psort" keeps each side priority-sorted while carrying the reference
-    # slot permutation — bit-parity AND cap-independent exact trade capture
-    # (engine_psort.py); "sorted" is the compacted-sorted-side variant
-    # (content-equal, not slot-layout-equal).
-    matching_engine: str = "exact"
+    # Engine selection (not in the reference): "psort" (default) keeps each
+    # side priority-sorted while carrying the reference slot permutation —
+    # bit-parity AND cap-independent exact trade capture, the fastest
+    # fully-exact backend (engine_psort.py; every env-level oracle/golden
+    # test runs through it); "exact" keeps the reference slot layout with
+    # the rank-plane fast matcher (bit-parity, the spec anchor — the
+    # engine-level oracle tests drive it directly); "sorted" is the
+    # compacted-sorted-side variant (content-equal, not slot-layout-equal).
+    matching_engine: str = "psort"
     # Max fills recorded per single message (0 = nTrades, fully exact). The
     # trade buffer itself still holds nTrades rows; capping only bounds how
     # many standing orders a *single* message can log fills against, which

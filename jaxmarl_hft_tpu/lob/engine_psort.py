@@ -28,12 +28,6 @@ engine_sorted.py deliberately gives up) by carrying, per side:
     because the reference's add_order scans the whole (n, 6) row for -1, so
     a live order with a -1 field is clobberable by the next insert.
 
-Each side's rows ride the scan as ONE (7, n) int32 matrix (the 6 order
-fields + refslot) and the trade buffer as ONE (8, nTrades) matrix, so every
-roll / shift / branch-merge is a single 2D op instead of 7-8 plane ops —
-the dominant cost is the log-step rolls, and stacking cuts the op count of
-the scan body ~5x for the same element count.
-
 The trade cursor is carried as a scalar that advances by the *uncapped*
 fill count of each message, replicating engine._finalize_trades's
 ``base0 + cumsum(K)`` slot assignment bit-for-bit at every
@@ -65,39 +59,29 @@ from . import engine as ex
 
 I32 = jnp.int32
 
-# rows of the (7, n) side matrix
-R_P, R_Q, R_OID, R_TID, R_TS, R_TN, R_RS = range(7)
-
 
 def _iota(n):
     return jax.lax.broadcasted_iota(I32, (n,), 0)
 
 
-def _sent_col(n):
-    """Sentinel column of an empty row: -1 fields, refslot n."""
-    return jnp.array([-1, -1, -1, -1, -1, -1, n], I32)[:, None]
+def _shift_left1(plane, fill_value):
+    return jnp.concatenate(
+        [plane[1:], jnp.full((1,), fill_value, plane.dtype)])
 
 
-def _shl(M, sent):
-    """Column shift left: out[:, i] = M[:, i+1]; last column = sentinel."""
-    return jnp.concatenate([M[:, 1:], jnp.broadcast_to(sent, (M.shape[0], 1))
-                            ], axis=1)
+def _shift_right1(plane, fill_value):
+    return jnp.concatenate(
+        [jnp.full((1,), fill_value, plane.dtype), plane[:-1]])
 
 
-def _shr(M, sent):
-    """Column shift right: out[:, i] = M[:, i-1]; first column = sentinel."""
-    return jnp.concatenate([jnp.broadcast_to(sent, (M.shape[0], 1)),
-                            M[:, :-1]], axis=1)
-
-
-def _roll_dynamic(M, shift, n):
-    """jnp.roll(M, shift, axis=-1) for a traced shift in [0, n) as log-step
+def _roll_dynamic(plane, shift, n):
+    """jnp.roll(plane, shift) for a traced shift in [0, n) as log-step
     masked static rolls (a dynamic roll serialises on TPU)."""
     s = 1
     while s < n:
-        M = jnp.where((shift & s) != 0, jnp.roll(M, s, axis=-1), M)
+        plane = jnp.where((shift & s) != 0, jnp.roll(plane, s), plane)
         s <<= 1
-    return M
+    return plane
 
 
 def _sel_scalar(plane, idx):
@@ -114,50 +98,57 @@ def _min_where(mask, vals, default):
 # --------------------------------------------------------------------------- #
 
 def _side_init(slot_soa, side_is_bid):
-    """Slot-layout SoA -> (M, P, A1). M = (7, n): the 6 order fields plus
-    refslot, columns in priority-rank order (engine._compute_rank's (price,
-    ts, tn, slot) lexicographic order); P = slot -> row (n for empty slots);
+    """Slot-layout SoA -> (rows7, P, A1). rows7 = the 6 order fields plus
+    refslot, in priority-rank order (engine._compute_rank's (price, ts, tn,
+    slot) lexicographic order); P = slot -> row (n for empty slots);
     A1[s] = occupied slot s's row contains a -1 field."""
     p = slot_soa[0]
     n = p.shape[0]
     rank = ex._compute_rank(slot_soa, side_is_bid)        # slot -> rank
     valid = p != -1
-    S = jnp.stack(slot_soa + (_iota(n),))                 # (7, n) slot-major
     R = rank[None, :] == _iota(n)[:, None]                # (row, slot) onehot
-    M = jnp.sum(jnp.where(R[None, :, :], S[:, None, :], 0),
-                axis=2).astype(I32)
-    got = jnp.any(R, axis=1)
-    M = jnp.where(got[None, :], M, _sent_col(n))
+
+    def to_rows(pl, sentinel):
+        v = jnp.sum(jnp.where(R, pl[None, :], 0), axis=1).astype(I32)
+        got = jnp.any(R, axis=1)
+        return jnp.where(got, v, sentinel)
+
+    rows = tuple(to_rows(pl, -1) for pl in slot_soa)
+    refslot = to_rows(_iota(n), n)
     P = jnp.where(valid, rank, n).astype(I32)
-    anyneg = jnp.any(S[:6] == -1, axis=0)
+    anyneg = ((slot_soa[0] == -1) | (slot_soa[1] == -1)
+              | (slot_soa[2] == -1) | (slot_soa[3] == -1)
+              | (slot_soa[4] == -1) | (slot_soa[5] == -1))
     A1 = valid & anyneg
-    return M, P, A1
+    return rows + (refslot,), P, A1
 
 
-def _side_to_slots(M, P):
-    """(M, P) -> slot-layout SoA planes, bit-identical to the exact engine's
+def _side_to_slots(rows7, P):
+    """(rows7, P) -> slot-layout SoA, bit-identical to the exact engine's
     final state (empty slots all -1)."""
     n = P.shape[0]
     S = P[:, None] == _iota(n)[None, :]                   # (slot, row) onehot
     occ = P < n
-    out = jnp.sum(jnp.where(S[None, :, :], M[:6][:, None, :], 0),
-                  axis=2).astype(I32)
-    out = jnp.where(occ[None, :], out, -1)
-    return tuple(out[f] for f in range(6))
+
+    def pick(pl):
+        v = jnp.sum(jnp.where(S, pl[None, :], 0), axis=1).astype(I32)
+        return jnp.where(occ, v, -1)
+
+    return tuple(pick(pl) for pl in rows7[:6])
 
 
 # --------------------------------------------------------------------------- #
 # Matching + in-scan trade write
 # --------------------------------------------------------------------------- #
 
-def _match_psort(cfg, M, P, A1, T, tbase, qtm, price, agr_oid,
+def _match_psort(cfg, opp, oppP, oppA1, trades, tbase, qtm, price, agr_oid,
                  time_s, time_ns, agr_tid, s_eff, opp_is_ask):
     """Match ``qtm`` at ``price`` against the sorted opposing side; write the
-    fills straight into the carried (8, nTrades) trade matrix (rows [0, k)
-    land at trade slots [tbase, tbase + min(k, cap)) via a barrel roll;
-    overflow wraps the globally-last fill into slot nTrades - 1, matching
+    fills straight into the carried trade planes (rows [0, k) land at trade
+    slots [tbase, tbase + min(k, cap)) via a barrel roll; overflow wraps the
+    globally-last fill into slot nTrades - 1, matching
     engine._apply_overflow_last)."""
-    p, q, oid, tid = M[R_P], M[R_Q], M[R_OID], M[R_TID]
+    p, q, oid, tid, ts, tn, rs = opp
     n = p.shape[0]
     nT = cfg.nTrades
     cap = ex._trade_cap(cfg)
@@ -180,29 +171,29 @@ def _match_psort(cfg, M, P, A1, T, tbase, qtm, price, agr_oid,
     sh = jnp.minimum(base, nT - 1)                        # roll only matters
     #                                                       while base < nT-1
 
+    def place(field_n):
+        src = field_n[:nT] if n >= nT else jnp.concatenate(
+            [field_n, jnp.zeros((nT - n,), field_n.dtype)])
+        return _roll_dynamic(src, sh, nT)
+
     signed_fill = (-s_eff * fill).astype(I32)
-    R4 = jnp.stack([p, signed_fill, oid, tid])            # (4, n) roll fields
-    if n >= nT:
-        src = R4[:, :nT]
-    else:
-        src = jnp.concatenate([R4, jnp.zeros((4, nT - n), I32)], axis=1)
-    placed = _roll_dynamic(src, sh, nT)                   # (4, nT)
-
+    roll_fields = {0: p, 1: signed_fill, 2: oid, 6: tid}
+    bcast_fields = {3: agr_oid, 4: time_s, 5: time_ns, 7: agr_tid}
     last_sel = _iota(n) == (k - 1)
-    last4 = jnp.sum(jnp.where(last_sel[None, :], R4, 0), axis=1).astype(I32)
 
-    b = lambda x: jnp.broadcast_to(jnp.asarray(x, I32)[None], (1, nT))
-    # trade-row layout: (price, quant, pass_oid, AGR_oid, ts, tn, pass_tid,
-    # AGR_tid) — reference create_trade :892
-    cand = jnp.concatenate([placed[0:3], b(agr_oid), b(time_s), b(time_ns),
-                            placed[3:4], b(agr_tid)], axis=0)   # (8, nT)
-    last8 = jnp.stack([last4[0], last4[1], last4[2],
-                       jnp.asarray(agr_oid, I32), jnp.asarray(time_s, I32),
-                       jnp.asarray(time_ns, I32), last4[3],
-                       jnp.asarray(agr_tid, I32)])
-    T_new = jnp.where(in_range[None, :], cand, T)
-    T_new = jnp.where((write_last & (t_idx == nT - 1))[None, :],
-                      last8[:, None], T_new).astype(I32)
+    new_trades = []
+    for f in range(8):
+        cur = trades[f]
+        if f in roll_fields:
+            fld = roll_fields[f]
+            v = jnp.where(in_range, place(fld), cur)
+            last = jnp.sum(jnp.where(last_sel, fld, 0)).astype(I32)
+        else:
+            fld = jnp.asarray(bcast_fields[f], I32)
+            v = jnp.where(in_range, fld, cur)
+            last = fld
+        v = jnp.where(write_last & (t_idx == nT - 1), last, v)
+        new_trades.append(v.astype(I32))
 
     new_tbase = (base + k).astype(I32)          # uncapped: engine.
     #                                             _finalize_trades cum slots
@@ -212,60 +203,83 @@ def _match_psort(cfg, M, P, A1, T, tbase, qtm, price, agr_oid,
     deadf = filled & (q2 <= 0)
     d = jnp.sum(deadf).astype(I32)
     nv = jnp.sum(valid).astype(I32)
-    M2 = jnp.concatenate([M[:1], q2[None], M[2:]], axis=0)
-    rolled = _roll_dynamic(M2, n - d, n)
+    rolled = tuple(_roll_dynamic(pl, n - d, n)
+                   for pl in (p, q2, oid, tid, ts, tn, rs))
     keep = _iota(n) < nv - d
-    sent = _sent_col(n)
-    M_new = jnp.where(keep[None, :], rolled, sent).astype(I32)
-    P_new = jnp.where(P < d, n, jnp.where(P < n, P - d, n)).astype(I32)
-    A1_new = jnp.where(P < d, False, A1)
-    return M_new, P_new, A1_new, T_new, new_tbase, qtm_left, k
+    sent = (-1, -1, -1, -1, -1, -1, n)
+    new_opp = tuple(jnp.where(keep, pl, s_).astype(I32)
+                    for pl, s_ in zip(rolled, sent))
+    newP = jnp.where(oppP < d, n,
+                     jnp.where(oppP < n, oppP - d, n)).astype(I32)
+    newA1 = jnp.where(oppP < d, False, oppA1)
+    return (new_opp, newP, newA1, tuple(new_trades), new_tbase, qtm_left, k)
 
 
 # --------------------------------------------------------------------------- #
 # Eviction, add (with clobber), cancel
 # --------------------------------------------------------------------------- #
 
-def _evict_worst_if_full_psort(M, P, A1):
+def _evict_worst_if_full_psort(own, P, A1):
     """Full side (every slot holds a p >= 0 order): clear all orders at the
     worst price — the tail of the sorted rows (reference check_book_fill
     :395-408)."""
-    p = M[R_P]
+    p = own[0]
     n = p.shape[0]
     full = jnp.all(p >= 0)                    # rows all valid <=> slots full
     worst = p[n - 1]
     clear_rows = full & (p == worst)          # contiguous suffix
-    e = n - jnp.sum(clear_rows).astype(I32)   # first cleared row
-    M_new = jnp.where(clear_rows[None, :], _sent_col(n), M).astype(I32)
+    cnt = jnp.sum(clear_rows).astype(I32)
+    e = n - cnt                               # first cleared row
+    sent = (-1, -1, -1, -1, -1, -1, n)
+    new_own = tuple(jnp.where(clear_rows, s_, pl).astype(I32)
+                    for pl, s_ in zip(own, sent))
     cleared_slot = full & (P >= e) & (P < n)
-    P_new = jnp.where(cleared_slot, n, P).astype(I32)
-    A1_new = jnp.where(cleared_slot, False, A1)
-    return M_new, P_new, A1_new
+    newP = jnp.where(cleared_slot, n, P).astype(I32)
+    newA1 = jnp.where(cleared_slot, False, A1)
+    return new_own, newP, newA1
 
 
-def _add_order_psort(M, P, A1, own_is_bid, price, quant, oid_v, tid_v,
+def _remove_row(own, P, A1, r, slot_of_r):
+    """Remove row ``r`` (shift-compact); no-op when r >= n."""
+    n = own[0].shape[0]
+    occ = r < n
+    ii = _iota(n)
+    sent = (-1, -1, -1, -1, -1, -1, n)
+    new_own = tuple(
+        jnp.where(occ & (ii >= r), _shift_left1(pl, s_), pl).astype(I32)
+        for pl, s_ in zip(own, sent))
+    newP = jnp.where(occ & (P == r), n,
+                     jnp.where(occ & (P > r) & (P < n), P - 1, P)).astype(I32)
+    newA1 = jnp.where(occ & (_iota(n) == slot_of_r), False, A1)
+    return new_own, newP, newA1
+
+
+def _add_order_psort(own, P, A1, own_is_bid, price, quant, oid_v, tid_v,
                      ts_v, tn_v):
     """Insert at the first slot whose row contains any -1 (clobbering the
     occupant, if one exists — reference add_order :62-83), at the priority
     position with the reference's slot-index tie-break; a zero-quantity add
     still clobbers (the written row is swept immediately, matching
-    engine._add_order_soa). The clobber-removal left shift and the insert
-    right shift are fused into one select over {M<<1, M, M>>1, new}."""
-    n = M.shape[1]
-    sent = _sent_col(n)
+    engine._add_order_soa)."""
+    n = own[0].shape[0]
     F = (P == n) | A1                          # insertable slots
     s_star = ex._first_true(F)
     s_slot = jnp.where(s_star < 0, n - 1, s_star)
-    occ_c = _sel_scalar((P < n).astype(I32), s_slot) > 0
-    r_c = jnp.where(occ_c, _sel_scalar(jnp.where(P < n, P, 0), s_slot), n)
-
-    ii = _iota(n)
-    M_rm = jnp.where((occ_c & (ii >= r_c))[None, :], _shl(M, sent), M)
+    # P[s_slot] in one pass: n marks "free" (s_slot is always in [0, n))
+    r_c = _sel_scalar(jnp.where(P < n, P, n), s_slot)
+    occ_c = r_c < n
 
     quant = jnp.maximum(0, quant)
     alive = quant > 0
+    ii = _iota(n)
+    rm_mask = occ_c & (ii >= r_c)
 
-    p, ts, tn, rs = M_rm[R_P], M_rm[R_TS], M_rm[R_TN], M_rm[R_RS]
+    # rows after the clobber removal (pos is computed on this view, exactly
+    # as the exact engine computes it over others_valid)
+    sents = (-1, -1, -1, -1, -1, -1, n)
+    own_rm = tuple(jnp.where(rm_mask, _shift_left1(pl, s_), pl)
+                   for pl, s_ in zip(own, sents))
+    p, q, oid, tid, ts, tn, rs = own_rm
     valid = p != -1
     price_better = jnp.where(own_is_bid, p > price, p < price)
     time_better_or_tie = (ts < ts_v) | ((ts == ts_v) & (
@@ -273,34 +287,36 @@ def _add_order_psort(M, P, A1, own_is_bid, price, quant, oid_v, tid_v,
     before = valid & (price_better | ((p == price) & time_better_or_tie))
     pos = jnp.sum(before).astype(I32)
 
-    newcol = jnp.stack([jnp.asarray(v, I32) for v in
-                        (price, quant, oid_v, tid_v, ts_v, tn_v, s_slot)]
-                       )[:, None]
+    # removal + insert fused: final[i] = new at pos, rows_rm[i-1] above it,
+    # rows_rm[i] below — the not-alive case (zero-quant add = clobber only)
+    # folds in through the masks
     m_new = alive & (ii == pos)
     m_after = alive & (ii > pos)
-    M_fin = jnp.where(m_new[None, :], newcol,
-                      jnp.where(m_after[None, :], _shr(M_rm, sent), M_rm)
-                      ).astype(I32)
+    new_vals = (price, quant, oid_v, tid_v, ts_v, tn_v, s_slot)
+    new_own = tuple(
+        jnp.where(m_new, jnp.asarray(v, I32),
+                  jnp.where(m_after, _shift_right1(pl, -1), pl)).astype(I32)
+        for pl, v in zip(own_rm, new_vals))
 
-    # inverse permutation: remove occupant of s_slot, then open row `pos`
+    # inverse permutation: drop the clobbered row, then open row `pos`
     P1 = jnp.where(occ_c & (P == r_c), n,
                    jnp.where(occ_c & (P > r_c) & (P < n), P - 1, P))
     P2 = jnp.where(alive & (P1 >= pos) & (P1 < n), P1 + 1, P1)
-    P_fin = jnp.where(ii == s_slot,
-                      jnp.where(alive, pos, n), P2).astype(I32)
+    newP = jnp.where(ii == s_slot,
+                     jnp.where(alive, pos, n), P2).astype(I32)
 
     anyneg_new = ((price == -1) | (quant == -1) | (oid_v == -1)
                   | (tid_v == -1) | (ts_v == -1) | (tn_v == -1))
-    A1_fin = jnp.where(ii == s_slot, alive & anyneg_new, A1)
-    return M_fin, P_fin, A1_fin
+    newA1 = jnp.where(ii == s_slot, alive & anyneg_new, A1)
+    return new_own, newP, newA1
 
 
-def _cancel_slot_psort(cfg, key, M, P, price, quant, msg_oid):
+def _cancel_slot_psort(cfg, key, own, P, price, quant, msg_oid):
     """Reference slot index to cancel (or -1): first-slot oid match, then
     init-order fallback, then (modes 2/3) random fallback — each respecting
     the reference's slot-order scan, including empty slots whose sentinel
     fields (-1) satisfy the predicate (engine._cancel_idx_soa)."""
-    p, q, oid, rs = M[R_P], M[R_Q], M[R_OID], M[R_RS]
+    p, q, oid, tid, ts, tn, rs = own
     n = p.shape[0]
     first_free = ex._first_true(P == n)
     first_free = jnp.where(first_free < 0, n, first_free)
@@ -324,12 +340,12 @@ def _cancel_slot_psort(cfg, key, M, P, price, quant, msg_oid):
         # slot-ordered weights, so the array order is PRNG-visible)
         S = P[:, None] == _iota(n)[None, :]               # (slot, row)
         occ = P < n
-
-        def by_slot(vals):
-            v = jnp.sum(jnp.where(S, vals[None, :], 0), axis=1)
-            return jnp.where(occ, v, -1).astype(I32)
-
-        p_s, q_s, oid_s = by_slot(p), by_slot(q), by_slot(oid)
+        p_s = jnp.where(occ, jnp.sum(jnp.where(S, p[None, :], 0), axis=1),
+                        -1).astype(I32)
+        q_s = jnp.where(occ, jnp.sum(jnp.where(S, q[None, :], 0), axis=1),
+                        -1).astype(I32)
+        oid_s = jnp.where(occ, jnp.sum(jnp.where(S, oid[None, :], 0),
+                                       axis=1), -1).astype(I32)
 
         def rand_slot(k, require_quant):
             m = p_s == price
@@ -349,32 +365,24 @@ def _cancel_slot_psort(cfg, key, M, P, price, quant, msg_oid):
     return idx
 
 
-def _cancel_psort(cfg, key, M, P, A1, price, quant, msg_oid):
+def _cancel_psort(cfg, key, own, P, A1, price, quant, msg_oid):
     """Subtract quantity at the matched slot's row; an unmatched cancel hits
     slot n-1 (.at[-1] reference quirk — a no-op when that slot is empty and
     quant >= 0); a row reaching q <= 0 is removed (sweep)."""
-    n = M.shape[1]
-    sent = _sent_col(n)
-    idx = _cancel_slot_psort(cfg, key, M, P, price, quant, msg_oid)
+    n = own[0].shape[0]
+    idx = _cancel_slot_psort(cfg, key, own, P, price, quant, msg_oid)
     slot_c = jnp.where(idx < 0, n - 1, idx)
-    occ_c = _sel_scalar((P < n).astype(I32), slot_c) > 0
-    r_c = jnp.where(occ_c, _sel_scalar(jnp.where(P < n, P, 0), slot_c), n)
+    r_c = _sel_scalar(jnp.where(P < n, P, n), slot_c)
+    occ_c = r_c < n
 
-    ii = _iota(n)
-    row_sel = ii == r_c
-    q2 = jnp.where(row_sel, M[R_Q] - quant, M[R_Q]).astype(I32)
+    p, q, oid, tid, ts, tn, rs = own
+    row_sel = _iota(n) == r_c
+    q2 = jnp.where(row_sel, q - quant, q).astype(I32)
     q2_r = jnp.sum(jnp.where(row_sel, q2, 0))
     removed = occ_c & (q2_r <= 0)
-    r = jnp.where(removed, r_c, n)
 
-    M2 = jnp.concatenate([M[:1], q2[None], M[2:]], axis=0)
-    M_new = jnp.where((removed & (ii >= r))[None, :], _shl(M2, sent),
-                      M2).astype(I32)
-    P_new = jnp.where(removed & (P == r), n,
-                      jnp.where(removed & (P > r) & (P < n), P - 1, P)
-                      ).astype(I32)
-    A1_new = jnp.where(removed & (ii == slot_c), False, A1)
-    return M_new, P_new, A1_new
+    rows_q = (p, q2, oid, tid, ts, tn, rs)
+    return _remove_row(rows_q, P, A1, jnp.where(removed, r_c, n), slot_c)
 
 
 # --------------------------------------------------------------------------- #
@@ -383,8 +391,8 @@ def _cancel_psort(cfg, key, M, P, A1, price, quant, msg_oid):
 
 def _apply_message_psort(cfg, state, key, msg):
     """Dispatch semantics of engine._apply_message_soa on the parity-sorted
-    carry ((7, n) rows matrix + P + A1 per side, (8, nT) trades + cursor)."""
-    (A, P_a, A1_a, B, P_b, A1_b, T, tbase) = state
+    carry (rows7 + P + A1 per side, trade planes + cursor)."""
+    (asks, P_a, A1_a, bids, P_b, A1_b, trades, tbase) = state
     t = msg[MsgCol.TYPE]
     s_eff = jnp.where(t == 4, -msg[MsgCol.SIDE], msg[MsgCol.SIDE])
     idx = ex._branch_index(t, s_eff)
@@ -393,8 +401,10 @@ def _apply_message_psort(cfg, state, key, msg):
     is_cancel = (idx == 2) | (idx == 3)
     active_is_bid = (idx == 1) | (idx == 3)
 
-    own = jnp.where(active_is_bid, B, A)
-    opp = jnp.where(active_is_bid, A, B)
+    own = tuple(jnp.where(active_is_bid, b_, a_)
+                for a_, b_ in zip(asks, bids))
+    opp = tuple(jnp.where(active_is_bid, a_, b_)
+                for a_, b_ in zip(asks, bids))
     ownP = jnp.where(active_is_bid, P_b, P_a)
     oppP = jnp.where(active_is_bid, P_a, P_b)
     ownA1 = jnp.where(active_is_bid, A1_b, A1_a)
@@ -409,8 +419,8 @@ def _apply_message_psort(cfg, state, key, msg):
         match_price = jnp.where(idx == 0, 0, price)
 
     qtm = jnp.where(is_lim, quant, 0)
-    (opp_m, oppP_m, oppA1_m, T_m, tbase_m, qtm_left, _k) = _match_psort(
-        cfg, opp, oppP, oppA1, T, tbase, qtm, match_price,
+    (opp_m, oppP_m, oppA1_m, trades_m, tbase_m, qtm_left, _k) = _match_psort(
+        cfg, opp, oppP, oppA1, trades, tbase, qtm, match_price,
         msg[MsgCol.OID], msg[MsgCol.TIME_S], msg[MsgCol.TIME_NS],
         msg[MsgCol.TID], s_eff=s_eff, opp_is_ask=opp_is_ask)
 
@@ -429,7 +439,8 @@ def _apply_message_psort(cfg, state, key, msg):
         msg[MsgCol.TIME_NS])
     if cfg.type_4_interpretation in (cst.Type4.IOC, cst.Type4.MKT):
         suppress = t == 4
-        own_lim = jnp.where(suppress, own_fa, own_add)
+        own_lim = tuple(jnp.where(suppress, a_, b_)
+                        for a_, b_ in zip(own_fa, own_add))
         ownP_lim = jnp.where(suppress, ownP_fa, ownP_add)
         ownA1_lim = jnp.where(suppress, ownA1_fa, ownA1_add)
     else:
@@ -438,25 +449,31 @@ def _apply_message_psort(cfg, state, key, msg):
     own_cx, ownP_cx, ownA1_cx = _cancel_psort(cfg, key, own, ownP, ownA1,
                                               price, quant, msg[MsgCol.OID])
 
-    new_own = jnp.where(is_cancel, own_cx, jnp.where(is_lim, own_lim, own))
+    new_own = tuple(
+        jnp.where(is_cancel, c_, jnp.where(is_lim, l_, o_))
+        for c_, l_, o_ in zip(own_cx, own_lim, own))
     new_ownP = jnp.where(is_cancel, ownP_cx,
                          jnp.where(is_lim, ownP_lim, ownP))
     new_ownA1 = jnp.where(is_cancel, ownA1_cx,
                           jnp.where(is_lim, ownA1_lim, ownA1))
-    new_opp = jnp.where(is_lim, opp_m, opp)
+    new_opp = tuple(jnp.where(is_lim, m_, o_)
+                    for m_, o_ in zip(opp_m, opp))
     new_oppP = jnp.where(is_lim, oppP_m, oppP)
     new_oppA1 = jnp.where(is_lim, oppA1_m, oppA1)
-    new_T = jnp.where(is_lim, T_m, T)
+    new_trades = tuple(jnp.where(is_lim, m_, t_)
+                       for m_, t_ in zip(trades_m, trades))
     new_tbase = jnp.where(is_lim, tbase_m, tbase)
 
-    new_A = jnp.where(active_is_bid, new_opp, new_own)
-    new_B = jnp.where(active_is_bid, new_own, new_opp)
+    new_asks = tuple(jnp.where(active_is_bid, o_, w_)
+                     for o_, w_ in zip(new_opp, new_own))
+    new_bids = tuple(jnp.where(active_is_bid, w_, o_)
+                     for o_, w_ in zip(new_opp, new_own))
     new_P_a = jnp.where(active_is_bid, new_oppP, new_ownP)
     new_P_b = jnp.where(active_is_bid, new_ownP, new_oppP)
     new_A1_a = jnp.where(active_is_bid, new_oppA1, new_ownA1)
     new_A1_b = jnp.where(active_is_bid, new_ownA1, new_oppA1)
-    return (new_A, new_P_a, new_A1_a, new_B, new_P_b, new_A1_b,
-            new_T, new_tbase)
+    return (new_asks, new_P_a, new_A1_a, new_bids, new_P_b, new_A1_b,
+            new_trades, new_tbase)
 
 
 def _best_bid_ask_quants_psort(cfg, state):
@@ -465,9 +482,7 @@ def _best_bid_ask_quants_psort(cfg, state):
     the occupied slots, and the sentinel tail rows (-1, -1) correspond 1:1
     to the empty slots with the same values, so the slot-space reductions
     can run directly on the row planes."""
-    A, B = state[0], state[3]
-    return ex._best_bid_ask_quants_soa(cfg, (A[R_P], A[R_Q]),
-                                       (B[R_P], B[R_Q]))
+    return ex._best_bid_ask_quants_soa(cfg, state[0], state[3])
 
 
 # --------------------------------------------------------------------------- #
@@ -475,21 +490,21 @@ def _best_bid_ask_quants_psort(cfg, state):
 # --------------------------------------------------------------------------- #
 
 def _scan_init(cfg, book_state):
-    A, P_a, A1_a = _side_init(ex._side_to_soa(book_state[0]),
-                              side_is_bid=False)
-    B, P_b, A1_b = _side_init(ex._side_to_soa(book_state[1]),
-                              side_is_bid=True)
-    T = jnp.stack(ex._trades_to_soa(book_state[2]))       # (8, nT)
-    first_empty = ex._first_true(T[4] == -1)
+    asks, P_a, A1_a = _side_init(ex._side_to_soa(book_state[0]),
+                                 side_is_bid=False)
+    bids, P_b, A1_b = _side_init(ex._side_to_soa(book_state[1]),
+                                 side_is_bid=True)
+    tr = ex._trades_to_soa(book_state[2])
+    first_empty = ex._first_true(tr[4] == -1)
     tbase = jnp.where(first_empty >= 0, first_empty,
                       cfg.nTrades - 1).astype(I32)
-    return (A, P_a, A1_a, B, P_b, A1_b, T, tbase)
+    return (asks, P_a, A1_a, bids, P_b, A1_b, tr, tbase)
 
 
 def _scan_final(state):
     return (ex._side_from_soa(_side_to_slots(state[0], state[1])),
             ex._side_from_soa(_side_to_slots(state[3], state[4])),
-            state[6].T)
+            ex._trades_from_soa(state[6]))
 
 
 def scan_messages(cfg, key, msgs, book_state):
@@ -534,7 +549,8 @@ def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
 
     final, (asks_h, bids_h) = jax.lax.scan(step, init, (keys, msgs),
                                            unroll=ex._unroll(cfg))
-    return (asks_h[-n_steps:], bids_h[-n_steps:], final[6].T)
+    return (asks_h[-n_steps:], bids_h[-n_steps:],
+            ex._trades_from_soa(final[6]))
 
 
 def apply_message(cfg, book_state, key, msg):

@@ -5,6 +5,8 @@ closed-form vectorized fill. These tests assert the results are *identical*
 (books, trades, best-price streams, L2 snapshots) over randomized message
 streams and targeted edge cases.
 """
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -302,7 +304,10 @@ def test_carried_planes_stay_consistent(seed):
     init = init_book_messages(rng)
     msgs = jnp.asarray(np.concatenate(
         [init, random_message_stream(rng, 200)], axis=0), jnp.int32)
-    cfg = CFG
+    # pin the compressed record path: this test drives _apply_message_soa
+    # with the 6-tuple carry (no trade planes), which the "auto" default
+    # would upgrade to the inscan 7-tuple at cap = nTrades
+    cfg = dataclasses.replace(CFG, trade_capture_mode="compressed")
     state = engine._init_soa_state(_fresh_state(cfg))
     keys = jax.random.split(jax.random.PRNGKey(seed), msgs.shape[0])
 
