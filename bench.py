@@ -147,16 +147,21 @@ def main():
     ap.add_argument("--envs", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--n-data-msg", type=int, default=100)
-    ap.add_argument("--engine", type=str, default="exact",
-                    choices=["exact", "sorted", "psort"])
-    ap.add_argument("--trade-cap", type=int, default=16,
+    ap.add_argument("--engine", type=str, default="psort",
+                    choices=["exact", "sorted", "psort"],
+                    help="matching backend (default: the shipped default — "
+                         "psort, bit-parity with FULLY exact trade capture; "
+                         "'--engine exact --trade-cap 16' is the faster "
+                         "capped mode, exact unless one message fills >16 "
+                         "orders)")
+    ap.add_argument("--trade-cap", type=int, default=0,
                     help="max fills recorded per single message (0 = "
-                         "nTrades, fully exact; 16 = production default, "
-                         "exact unless one message fills >16 orders)")
-    ap.add_argument("--trade-mode", type=str, default="compressed",
-                    choices=["postscan", "compressed", "inscan"],
-                    help="trade-buffer assembly (bit-identical; postscan "
-                         "reconstructs once per scan and is cap-independent)")
+                         "nTrades, fully exact — the default; the psort "
+                         "engine is cap-independent)")
+    ap.add_argument("--trade-mode", type=str, default="auto",
+                    choices=["auto", "postscan", "compressed", "inscan"],
+                    help="exact-engine trade-buffer assembly (bit-identical "
+                         "perf knob; auto = fastest for the cap)")
     args = ap.parse_args()
 
     if not _preflight():
@@ -175,7 +180,10 @@ def main():
     print(json.dumps({
         "metric": "env_steps_per_sec",
         "value": round(sps, 1),
-        "unit": "env-steps/s/chip (2-player MM+exec, 112 msgs/step)",
+        "unit": (f"env-steps/s/chip (2-player MM+exec, 112 msgs/step, "
+                 f"{args.engine} engine, "
+                 f"{'FULLY exact' if args.trade_cap == 0 else 'cap=' + str(args.trade_cap)}"
+                 f" trade capture)"),
         "vs_baseline": round(sps / target_per_chip, 3),
     }))
     print(f"# envs={args.envs} steps={args.steps} elapsed={elapsed:.2f}s "
