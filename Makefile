@@ -3,16 +3,19 @@
 PY ?= python
 
 # PYTHONPATH= drops the axon TPU plugin (it lives on PYTHONPATH), so test
-# runs never touch the TPU tunnel and can run concurrently with on-chip work
-test:
-	PYTHONPATH= JAX_PLATFORMS=cpu $(PY) -m pytest tests/ -q
+# runs never touch the TPU tunnel and can run concurrently with on-chip work.
+# The DEFAULT path is per-file process isolation: each test file runs in its
+# own interpreter (2 at a time), so the XLA:CPU segfault-after-~40-compiles
+# workaround in tests/conftest.py is belt-and-braces, not load-bearing
+test: test-isolated
 
-# per-file process isolation: each test file runs in its own interpreter
-# (2 at a time), so the XLA:CPU segfault-after-~40-compiles workaround in
-# tests/conftest.py is not load-bearing for suite completion
 test-isolated:
 	ls tests/test_*.py | PYTHONPATH= JAX_PLATFORMS=cpu xargs -P 2 -n 1 \
 		$(PY) -m pytest -q --no-header
+
+# single-process run (relies on the conftest cache-clear fixture)
+test-one-process:
+	PYTHONPATH= JAX_PLATFORMS=cpu $(PY) -m pytest tests/ -q
 
 # build the native C++ CSV parser shared library (also auto-built on first
 # use by jaxmarl_hft_tpu/data/native_csv.py)
@@ -56,5 +59,6 @@ scaling:
 multihost-smoke:
 	$(PY) scripts/multihost_smoke.py --nprocs 2 --devices-per-proc 4
 
-.PHONY: test native test-fast bench speed-test ppo-2player ppo-exec ppo-mm \
-	baseline-eval plot scaling multihost-smoke
+.PHONY: test test-isolated test-one-process native test-fast bench \
+	speed-test ppo-2player ppo-exec ppo-mm baseline-eval plot scaling \
+	multihost-smoke

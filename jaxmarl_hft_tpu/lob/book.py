@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config.structs import LobConfig
-from . import engine, queries
+from . import engine, engine_sorted, queries
 
 I32 = jnp.int32
 
@@ -79,7 +79,7 @@ class OrderBook:
         """Apply one (8,) message (reference :96-110)."""
         asks, bids, trades, key = state
         key, split_key = jax.random.split(key)
-        asks, bids, trades = engine.apply_message(
+        asks, bids, trades = engine_sorted.get_engine(self.cfg).apply_message(
             self.cfg, (asks, bids, trades), split_key, quote.astype(I32))
         return LobState(asks, bids, trades, key)
 
@@ -89,8 +89,8 @@ class OrderBook:
         """Apply an (N, 8) message array in sequence (reference :112-121)."""
         asks, bids, trades, key = state
         key, split_key = jax.random.split(key)
-        new = engine.scan_messages(self.cfg, split_key, msgs.astype(I32),
-                                   (asks, bids, trades))
+        new = engine_sorted.get_engine(self.cfg).scan_messages(
+            self.cfg, split_key, msgs.astype(I32), (asks, bids, trades))
         return LobState(*new, key)
 
     @partial(jax.jit, static_argnums=(0, 3))
@@ -100,7 +100,8 @@ class OrderBook:
         (reference :123-139)."""
         asks, bids, trades, key = state
         key, split_key = jax.random.split(key)
-        all_asks, all_bids, trades = engine.scan_messages_save_states(
+        eng = engine_sorted.get_engine(self.cfg)
+        all_asks, all_bids, trades = eng.scan_messages_save_states(
             self.cfg, split_key, msgs.astype(I32), (asks, bids, trades),
             msgs.shape[0])
         l2 = jax.vmap(queries.get_L2_state, (0, 0, None, None))(

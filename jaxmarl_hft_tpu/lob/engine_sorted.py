@@ -370,28 +370,48 @@ def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
     return (asks_hist, bids_hist, ex._trades_from_soa(t))
 
 
-def get_scan_fns(cfg):
-    """Engine selection by cfg.matching_engine:
-    'exact'  — reference slot layout, rank-plane matcher (bit-parity);
+def apply_message(cfg, book_state, key, msg):
+    """Process a single (8,) message (key used directly, as in the exact
+    and psort engines' single-message paths)."""
+    a, b, t = _apply_message_sorted(cfg, _to_soa(book_state), key,
+                                    msg.astype(jnp.int32))
+    return (ex._side_from_soa(a), ex._side_from_soa(b),
+            ex._trades_from_soa(t))
+
+
+def get_engine(cfg):
+    """Backend module for cfg.matching_engine:
+    'exact'  — reference slot layout, rank-plane matcher (bit-parity; the
+               spec anchor driven directly by the engine-level oracle);
     'psort'  — compacted sorted sides carrying the reference-slot
                permutation: bit-parity AND cap-independent exact trade
-               capture (engine_psort.py);
+               capture (engine_psort.py) — the production default;
     'sorted' — compacted sorted sides, O(n)/message (lax), content-equal
                but not slot-layout-equal.
 
-    A Pallas sorted-book kernel existed through round 1 (ops/book_scan.py)
-    and was retired in round 2: correctness-validated on hardware but 1.7x
-    slower than the lax exact engine at production shapes (123.5 vs 70.9 ms
-    per 2048x120 messages) with Mosaic ~5x off the VPU roofline — the
-    lax+XLA path is the right TPU substrate for this op mix. Full record:
-    BASELINE.md "Engine-backend head-to-head"."""
-    eng = getattr(cfg, "matching_engine", "sorted")
+    Unknown names raise (a config typo must not silently select a
+    different backend). A Pallas sorted-book kernel existed through round 1
+    (ops/book_scan.py) and was retired in round 2: correctness-validated on
+    hardware but 1.7x slower than the lax exact engine at production shapes
+    (123.5 vs 70.9 ms per 2048x120 messages) with Mosaic ~5x off the VPU
+    roofline — the lax+XLA path is the right TPU substrate for this op mix.
+    Full record: BASELINE.md "Engine-backend head-to-head"."""
     import sys
-    mod = sys.modules[__name__]
+    eng = getattr(cfg, "matching_engine", "psort")
     if eng == "sorted":
-        return mod.scan_messages, mod.scan_messages_save_bidask
+        return sys.modules[__name__]
     if eng == "psort":
         from . import engine_psort
-        return (engine_psort.scan_messages,
-                engine_psort.scan_messages_save_bidask)
-    return ex.scan_messages, ex.scan_messages_save_bidask
+        return engine_psort
+    if eng == "exact":
+        return ex
+    raise ValueError(
+        f"unknown matching_engine {eng!r}; expected one of "
+        "{'exact', 'psort', 'sorted'}")
+
+
+def get_scan_fns(cfg):
+    """(scan_messages, scan_messages_save_bidask) for cfg.matching_engine
+    (see get_engine)."""
+    mod = get_engine(cfg)
+    return mod.scan_messages, mod.scan_messages_save_bidask

@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 
 from jaxmarl_hft_tpu.config.structs import LobConfig
-from jaxmarl_hft_tpu.lob import engine, queries
+from jaxmarl_hft_tpu.lob import engine, engine_sorted, queries
 
 from reference_oracle import (get_oracle, init_book_messages,
                               random_message_stream)
@@ -25,18 +25,28 @@ pytestmark = pytest.mark.skipif(job is None,
 CFG = LobConfig(nOrders=100, nTrades=100)
 
 
+@pytest.fixture(params=["exact", "psort"])
+def eng(request):
+    """Both bit-parity backends run the full oracle battery directly: the
+    'exact' spec anchor AND the shipped 'psort' default (VERDICT r2 item 5 —
+    the default's reference parity must be direct, not transitive)."""
+    return request.param
+
+
 def _fresh_state(cfg=CFG):
     return (engine.init_orderside(cfg.nOrders),
             engine.init_orderside(cfg.nOrders),
             engine.init_trades(cfg.nTrades))
 
 
-def _run_both(cfg, msgs, state=None, key_seed=0):
+def _run_both(cfg, msgs, state=None, key_seed=0, eng="exact"):
+    cfg = dataclasses.replace(cfg, matching_engine=eng)
     if state is None:
         state = _fresh_state(cfg)
     key = jax.random.PRNGKey(key_seed)
     msgs = jnp.asarray(msgs, dtype=jnp.int32)
-    ours = engine.scan_messages(cfg, key, msgs, state)
+    scan_fn, _ = engine_sorted.get_scan_fns(cfg)
+    ours = scan_fn(cfg, key, msgs, state)
     # LobConfig is attribute-compatible with the reference's config object.
     theirs = job.scan_through_entire_array(cfg, key, msgs, state)
     return ours, theirs
@@ -52,37 +62,37 @@ def _assert_state_equal(ours, theirs):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
-def test_random_stream_equivalence(seed):
+def test_random_stream_equivalence(seed, eng):
     rng = np.random.default_rng(seed)
     init = init_book_messages(rng)
     msgs = np.concatenate([init, random_message_stream(rng, 300)], axis=0)
-    ours, theirs = _run_both(CFG, msgs)
+    ours, theirs = _run_both(CFG, msgs, eng=eng)
     _assert_state_equal(ours, theirs)
 
 
-def test_aggressive_drain():
+def test_aggressive_drain(eng):
     """A huge market-ish order drains the whole opposite side."""
     rng = np.random.default_rng(7)
     init = init_book_messages(rng)
     drain = np.array([[1, 1, 100000, 2_400_000, 555, 555, 34300, 0]],
                      dtype=np.int32)
     msgs = np.concatenate([init, drain], axis=0)
-    ours, theirs = _run_both(CFG, msgs)
+    ours, theirs = _run_both(CFG, msgs, eng=eng)
     _assert_state_equal(ours, theirs)
 
 
-def test_type4_ioc_no_remainder():
+def test_type4_ioc_no_remainder(eng):
     rng = np.random.default_rng(8)
     init = init_book_messages(rng)
     # type 4 sell-side execution larger than available at price
     t4 = np.array([[4, -1, 100000, 2_194_900, 556, 556, 34300, 0]],
                   dtype=np.int32)
     msgs = np.concatenate([init, t4], axis=0)
-    ours, theirs = _run_both(CFG, msgs)
+    ours, theirs = _run_both(CFG, msgs, eng=eng)
     _assert_state_equal(ours, theirs)
 
 
-def test_full_book_eviction():
+def test_full_book_eviction(eng):
     """Filling a side to capacity triggers worst-level eviction."""
     cfg = LobConfig(nOrders=12, nTrades=12)
     rows = []
@@ -90,11 +100,11 @@ def test_full_book_eviction():
         rows.append([1, 1, 10, 2_000_000 + 100 * (i % 13), 100 + i, 100 + i,
                      34200, i])
     msgs = np.array(rows, dtype=np.int32)
-    ours, theirs = _run_both(cfg, msgs)
+    ours, theirs = _run_both(cfg, msgs, eng=eng)
     _assert_state_equal(ours, theirs)
 
 
-def test_cancel_unknown_id_quirk():
+def test_cancel_unknown_id_quirk(eng):
     """A cancel with an unknown id subtracts from the last row (reference
     quirk) — behaviour must match exactly."""
     rng = np.random.default_rng(9)
@@ -102,11 +112,11 @@ def test_cancel_unknown_id_quirk():
     bogus = np.array([[2, 1, 5, 1_234_500, 999999, 999999, 34300, 0]],
                      dtype=np.int32)
     msgs = np.concatenate([init, bogus], axis=0)
-    ours, theirs = _run_both(CFG, msgs)
+    ours, theirs = _run_both(CFG, msgs, eng=eng)
     _assert_state_equal(ours, theirs)
 
 
-def test_cancel_init_order_fallback():
+def test_cancel_init_order_fallback(eng):
     """Cancel matching an initial-book order at the same price."""
     rng = np.random.default_rng(10)
     init = init_book_messages(rng)
@@ -115,11 +125,11 @@ def test_cancel_init_order_fallback():
     cancel = np.array([[2, 1, quant, price, 31337, 31337, 34300, 0]],
                       dtype=np.int32)
     msgs = np.concatenate([init, cancel], axis=0)
-    ours, theirs = _run_both(CFG, msgs)
+    ours, theirs = _run_both(CFG, msgs, eng=eng)
     _assert_state_equal(ours, theirs)
 
 
-def test_trades_overflow():
+def test_trades_overflow(eng):
     """More fills in a step than trade-buffer capacity: the overflow slot must
     contain the same (last) trade as the reference."""
     cfg = LobConfig(nOrders=50, nTrades=8)
@@ -128,11 +138,11 @@ def test_trades_overflow():
         rows.append([1, -1, 1, 2_200_000, 200 + i, 200 + i, 34200, i])
     rows.append([1, 1, 50, 2_300_000, 300, 300, 34201, 0])  # sweeps 20 asks
     msgs = np.array(rows, dtype=np.int32)
-    ours, theirs = _run_both(cfg, msgs)
+    ours, theirs = _run_both(cfg, msgs, eng=eng)
     _assert_state_equal(ours, theirs)
 
 
-def test_price_time_priority_ties():
+def test_price_time_priority_ties(eng):
     """Orders at identical price and time: first-slot priority."""
     rows = [
         [1, -1, 5, 2_200_000, 201, 201, 34200, 7],
@@ -141,19 +151,20 @@ def test_price_time_priority_ties():
         [1, 1, 8, 2_200_000, 300, 300, 34201, 0],    # crosses: fills 203 then 201
     ]
     msgs = np.array(rows, dtype=np.int32)
-    ours, theirs = _run_both(CFG, msgs)
+    ours, theirs = _run_both(CFG, msgs, eng=eng)
     _assert_state_equal(ours, theirs)
 
 
-def test_save_bidask_stream():
+def test_save_bidask_stream(eng):
     rng = np.random.default_rng(11)
     init = init_book_messages(rng)
     stream = random_message_stream(rng, 120)
     msgs = jnp.asarray(np.concatenate([init, stream]), dtype=jnp.int32)
     key = jax.random.PRNGKey(0)
     state = _fresh_state()
-    ours_state, (our_asks, our_bids) = engine.scan_messages_save_bidask(
-        CFG, key, msgs, state, 64)
+    ecfg = dataclasses.replace(CFG, matching_engine=eng)
+    _, scan_ba = engine_sorted.get_scan_fns(ecfg)
+    ours_state, (our_asks, our_bids) = scan_ba(ecfg, key, msgs, state, 64)
     theirs_state, (ref_asks, ref_bids) = \
         job.scan_through_entire_array_save_bidask(CFG, key, msgs, state, 64)
     _assert_state_equal(ours_state, theirs_state)
@@ -161,18 +172,18 @@ def test_save_bidask_stream():
     np.testing.assert_array_equal(np.asarray(our_bids), np.asarray(ref_bids))
 
 
-def test_l2_state_equivalence():
+def test_l2_state_equivalence(eng):
     rng = np.random.default_rng(12)
     init = init_book_messages(rng)
     stream = random_message_stream(rng, 150)
     msgs = np.concatenate([init, stream])
-    ours, theirs = _run_both(CFG, msgs)
+    ours, theirs = _run_both(CFG, msgs, eng=eng)
     ours_l2 = queries.get_L2_state(ours[0], ours[1], 10, CFG)
     ref_l2 = job.get_L2_state(theirs[0], theirs[1], 10, CFG)
     np.testing.assert_array_equal(np.asarray(ours_l2), np.asarray(ref_l2))
 
 
-def test_cancel_msgs_equivalence():
+def test_cancel_msgs_equivalence(eng):
     rng = np.random.default_rng(13)
     init = init_book_messages(rng)
     agent_orders = np.array([
@@ -180,18 +191,18 @@ def test_cancel_msgs_equivalence():
         [1, 1, 7, 2_194_400, -151, -150, 34300, 1],
     ], dtype=np.int32)
     msgs = np.concatenate([init, agent_orders])
-    ours, theirs = _run_both(CFG, msgs)
+    ours, theirs = _run_both(CFG, msgs, eng=eng)
     ours_cnl = engine.get_cancel_msgs(ours[1], -150, 2, 1, 34400, 5)
     ref_cnl = job.getCancelMsgs(theirs[1], -150, 2, 1, 34400, 5)
     np.testing.assert_array_equal(np.asarray(ours_cnl), np.asarray(ref_cnl))
 
 
-def test_queries_equivalence():
+def test_queries_equivalence(eng):
     rng = np.random.default_rng(14)
     init = init_book_messages(rng)
     stream = random_message_stream(rng, 100)
     msgs = np.concatenate([init, stream])
-    ours, _ = _run_both(CFG, msgs)
+    ours, _ = _run_both(CFG, msgs, eng=eng)
     asks, bids, trades = ours
     assert int(queries.get_best_ask(CFG, asks)) == \
         int(job.get_best_ask(CFG, asks))
@@ -207,7 +218,7 @@ def test_queries_equivalence():
     np.testing.assert_array_equal(np.asarray(oo), np.asarray(ro))
 
 
-def test_capped_trade_capture_on_normal_flow():
+def test_capped_trade_capture_on_normal_flow(eng):
     """With trade_capture_cap=16, results are still exact for flow where no
     single message fills more than 16 orders (the realistic regime used by
     the performance configs)."""
@@ -215,7 +226,7 @@ def test_capped_trade_capture_on_normal_flow():
     rng = np.random.default_rng(21)
     init = init_book_messages(rng)
     msgs = np.concatenate([init, random_message_stream(rng, 300)], axis=0)
-    ours, theirs = _run_both(cfg, msgs)
+    ours, theirs = _run_both(cfg, msgs, eng=eng)
     _assert_state_equal(ours, theirs)
 
 
@@ -257,7 +268,7 @@ def test_capped_trade_capture_overflow_contract():
 
 
 @pytest.mark.parametrize("mode", [0, 1, 2, 3])
-def test_cancel_modes_equivalence(mode):
+def test_cancel_modes_equivalence(mode, eng):
     """All four CancelMode fallbacks, incl. the PRNG-driven random-order
     picks of modes 2/3 (reference: get_random_id_match :141-155,
     get_random_large_id_match :157-164) — same key tree, same picks."""
@@ -273,12 +284,12 @@ def test_cancel_modes_equivalence(mode):
     extra[:, 5] = 999_999
     msgs = np.concatenate([init, stream, extra], axis=0)
     for seed in (0, 1):
-        ours, theirs = _run_both(cfg, msgs, key_seed=seed)
+        ours, theirs = _run_both(cfg, msgs, key_seed=seed, eng=eng)
         _assert_state_equal(ours, theirs)
 
 
 @pytest.mark.parametrize("t4", [0, 1, 2])
-def test_type4_interpretations_equivalence(t4):
+def test_type4_interpretations_equivalence(t4, eng):
     """Type-4 execution messages under IOC / LIM / MKT (reference:
     jaxob_constants.py:70-74; bid_lim :391-418, ask_lim :471-506)."""
     cfg = LobConfig(type_4_interpretation=t4)
@@ -289,7 +300,7 @@ def test_type4_interpretations_equivalence(t4):
     flip = rng.random(stream.shape[0]) < 0.3
     stream[flip, 0] = 4
     msgs = np.concatenate([init, stream], axis=0)
-    ours, theirs = _run_both(cfg, msgs)
+    ours, theirs = _run_both(cfg, msgs, eng=eng)
     _assert_state_equal(ours, theirs)
 
 
