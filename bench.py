@@ -162,7 +162,7 @@ def main():
                          "nTrades, fully exact — the default; the psort "
                          "engine is cap-independent)")
     ap.add_argument("--trade-mode", type=str, default="auto",
-                    choices=["auto", "postscan", "compressed", "inscan"],
+                    choices=["auto", "compressed", "inscan"],
                     help="exact-engine trade-buffer assembly (bit-identical "
                          "perf knob; auto = fastest for the cap)")
     args = ap.parse_args()

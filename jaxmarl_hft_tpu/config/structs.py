@@ -57,13 +57,11 @@ class LobConfig:
     # "compressed" — per-message (cap, nOrders) one-hot extraction into
     #                compressed records + a (nTrades, M, cap) finalize
     #                contraction (cost scales with cap).
-    # "postscan"   — the scan emits per-slot (fill, rank, p, oid, tid) planes
-    #                it already computes and the buffer is reconstructed once
-    #                per scan with an exact one-hot matmul row-gather; cost is
-    #                independent of trade_capture_cap. Bit-identical
-    #                (tests/test_trade_postscan.py, on-chip probe) but
-    #                measured slower at production shapes on v5e — kept as an
-    #                opt-in lab path (BASELINE.md round-2 notes).
+    # (a "postscan" mode — buffer rebuilt once per scan from per-slot fill
+    # planes via an exact one-hot matmul row-gather — was removed in round
+    # 3: bit-identical but 13x slower at production shapes on v5e;
+    # BASELINE.md records the negative result. For cap-independent full
+    # exactness use the psort engine, which is the default.)
     # "inscan"     — the trade SoA rides in the scan carry and each message
     #                writes its fills via one (nTrades, nOrders) rank-offset
     #                one-hot; no records, no finalize. Bit-identical at

@@ -143,7 +143,7 @@ def _compute_rank(side_soa, side_is_bid):
 
 
 def _match_soa(cap, opp, opp_rank, opp_cumq, qtm, price, opp_is_ask,
-               postscan=False):
+               slot_planes=False):
     """Match ``qtm`` at limit ``price`` against the opposing SoA side;
     returns (new_opp, new_opp_rank, new_opp_cumq, qtm_left, fills,
     last_fill, k).
@@ -176,9 +176,9 @@ def _match_soa(cap, opp, opp_rank, opp_cumq, qtm, price, opp_is_ask,
     filled = fill > 0
     k = jnp.sum(filled).astype(I32)
 
-    if postscan:
-        # per-slot planes; compression to fill order happens once per scan
-        # in _finalize_trades_postscan (fill order c  <=>  rank == c)
+    if slot_planes:
+        # per-slot planes (the inscan write consumes them directly;
+        # fill order c  <=>  rank == c)
         fills = (fill, jnp.where(filled, opp_rank, n).astype(I32))
     else:
         # compressed fills: fill order c < cap  <=>  rank == c
@@ -279,83 +279,7 @@ def _apply_overflow_last(nT, out, base0, K, last_fields, t):
                  for lf, o in zip(last_fields, out))
 
 
-def _gather_rows_exact(W, planes_and_chunks):
-    """Exact one-hot row-gather ``G_f[t, :] = X_f[m(t), :]`` for several
-    int32 plane stacks at once, formulated as ONE bf16 matmul so XLA can put
-    it on the MXU instead of materialising an (nT, M, n) broadcast.
-
-    W is a 0/1 (nT, M) mask with at most one 1 per row; each int32 plane is
-    split into 8-bit chunks (two's complement bytes), every chunk value is
-    in [0, 255] (exact in bf16), and every output element is a sum with at
-    most ONE nonzero term — so the f32 accumulation is exact bit-for-bit on
-    every backend. Chunks recombine with wrapping shifts (exact two's
-    complement reconstruction)."""
-    Wb = W.astype(jnp.bfloat16)
-    cols = []
-    for X, n_chunks in planes_and_chunks:
-        for c in range(n_chunks):
-            cols.append(((X >> (8 * c)) & 0xFF).astype(jnp.bfloat16))
-    G = jnp.dot(Wb, jnp.concatenate(cols, axis=1),
-                preferred_element_type=jnp.float32).astype(I32)
-    outs = []
-    off = 0
-    for X, n_chunks in planes_and_chunks:
-        n = X.shape[1]
-        acc = jnp.zeros((W.shape[0], n), I32)
-        for c in range(n_chunks):
-            acc = acc | (G[:, off:off + n] << (8 * c))
-            off += n
-        outs.append(acc)
-    return outs
-
-
-def _finalize_trades_postscan(cfg, init_trades, recs):
-    """Trade-buffer assembly from per-slot fill planes: bit-identical to
-    _finalize_trades but with cost independent of ``trade_capture_cap`` —
-    full exactness (cap = nTrades) is free. Per trade slot t the owning
-    message m(t) and within-message fill index r(t) are derived exactly as
-    in _finalize_trades; the (m(t), r(t)) lookup is then one MXU row-gather
-    of the per-slot planes plus a single (nTrades, nOrders) rank match
-    (fill order c == pre-match priority rank, see _match_soa)."""
-    (FQ, RK, PP, POID, PTID, LP, LQ, LOID, LTID, K, AOID, TS, TN,
-     ATID) = recs
-    nT = cfg.nTrades
-    M, n = FQ.shape
-    cap = _trade_cap(cfg)
-
-    first_empty = _first_true(init_trades[4] == -1)
-    base0 = jnp.where(first_empty >= 0, first_empty, nT - 1)
-    cum = base0 + jnp.cumsum(K) - K                       # (M,) start slots
-    t = jax.lax.broadcasted_iota(I32, (nT,), 0)
-    W = (cum[None, :] <= t[:, None]) & (t[:, None] < (cum + K)[None, :])
-    valid_t = jnp.any(W, axis=1)
-    cum_at = jnp.sum(jnp.where(W, cum[None, :], 0), axis=1)
-    r = t - cum_at                                        # fill idx in msg
-
-    rank_chunks = 1 if n < 256 else 2
-    G_rk, G_fq, G_pp, G_poid, G_ptid = _gather_rows_exact(
-        W, [(RK, rank_chunks), (FQ, 4), (PP, 4), (POID, 4), (PTID, 4)])
-
-    sel = G_rk == r[:, None]                              # (nT, n)
-
-    def pick(G):
-        return jnp.sum(jnp.where(sel, G, 0), axis=1).astype(I32)
-
-    def per_msg(Svec):
-        return jnp.sum(jnp.where(W, Svec[None, :], 0), axis=1).astype(I32)
-
-    hit = valid_t & (r < cap) & (t < nT - 1)
-    vals = (pick(G_pp), pick(G_fq), pick(G_poid), per_msg(AOID),
-            per_msg(TS), per_msg(TN), pick(G_ptid), per_msg(ATID))
-    out = tuple(jnp.where(hit, v, cur)
-                for v, cur in zip(vals, init_trades))
-    return _apply_overflow_last(nT, out, base0, K,
-                                (LP, LQ, LOID, AOID, TS, TN, LTID, ATID), t)
-
-
 def _finalize(cfg, init_trades, recs):
-    if _trade_mode(cfg) == "postscan":
-        return _finalize_trades_postscan(cfg, init_trades, recs)
     return _finalize_trades(cfg, init_trades, recs)
 
 
@@ -374,7 +298,7 @@ def _write_trades_inscan(cfg, tstate, fill, rank, opp_p, opp_oid, opp_tid,
     traffic. Occupancy is MIDX != -1 (-2 marks rows occupied before the
     scan), matching the compressed path's trades[time_s] == -1 probe.
 
-    Bit-identical to the compressed/postscan assembly whenever cap covers
+    Bit-identical to the compressed assembly whenever cap covers
     every message's fill count — in particular always at cap = nTrades.
     When a message overflows a smaller cap, the compressed path leaves
     allocated gap slots while this incremental path reuses them (the same
@@ -595,6 +519,11 @@ def _trade_mode(cfg):
     m = getattr(cfg, "trade_capture_mode", "auto")
     if m == "auto":
         return ("compressed" if _trade_cap(cfg) < cfg.nTrades else "inscan")
+    if m not in ("compressed", "inscan"):
+        raise ValueError(
+            f"unknown trade_capture_mode {m!r}; expected one of "
+            "{'auto', 'compressed', 'inscan'} (the 'postscan' lab path was "
+            "removed in round 3 - BASELINE.md records the negative result)")
     return m
 
 
@@ -645,11 +574,10 @@ def _apply_message_soa(cfg, state, key, msg, msg_idx=0):
         match_price = jnp.where(idx == 0, 0, price)
 
     qtm = jnp.where(is_lim, quant, 0)
-    postscan = mode == "postscan"
     (opp_matched, opp_rank_matched, opp_cumq_matched, qtm_left, fills,
      last_fill, k) = _match_soa(_trade_cap(cfg), opp, opp_rank, opp_cumq,
                                 qtm, match_price, opp_is_ask=opp_is_ask,
-                                postscan=postscan or inscan)
+                                slot_planes=inscan)
     if inscan:
         # write this message's fills straight into the carried trade planes;
         # no per-message record leaves the scan
@@ -657,14 +585,6 @@ def _apply_message_soa(cfg, state, key, msg, msg_idx=0):
             cfg, trades_soa, fills[0], fills[1], opp[0], opp[2], opp[3], k,
             last_fill, s_eff, jnp.asarray(msg_idx, I32))
         fill_rec = ()
-    elif postscan:
-        # per-slot planes (fill, rank, p, oid, tid of the matched side);
-        # buffer assembly happens once per scan in _finalize_trades_postscan
-        fill_rec = ((-s_eff * fills[0]).astype(I32), fills[1], opp[0],
-                    opp[2], opp[3], last_fill[0],
-                    (-s_eff * last_fill[1]).astype(I32), last_fill[2],
-                    last_fill[3], k, msg[MsgCol.OID], msg[MsgCol.TIME_S],
-                    msg[MsgCol.TIME_NS], msg[MsgCol.TID])
     else:
         fill_rec = (fills[0], (-s_eff * fills[1]).astype(I32), fills[2],
                     fills[3], last_fill[0],
@@ -806,7 +726,7 @@ def _scan_init(cfg, book_state):
 
 def _scan_trades(cfg, final_state, init_trades_rows, recs, msgs):
     """Final trade planes for a scan: carried planes + aggressor-column
-    reconstruction (inscan) or record assembly (compressed / postscan)."""
+    reconstruction (inscan) or record assembly (compressed)."""
     if _trade_mode(cfg) != "inscan":
         return _finalize(cfg, _trades_to_soa(init_trades_rows), recs)
     P, Q, POID, PTID, MIDX = final_state[6]

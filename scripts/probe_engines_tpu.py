@@ -43,9 +43,10 @@ def main():
                             engine=kw["engine"],
                             trade_capture_cap=kw["trade_capture_cap"],
                             trade_mode=kw["trade_mode"])
-            sps, compile_time, elapsed = bench_rollout(env, n_envs, n_steps)
+            sps, compile_time, runs = bench_rollout(env, n_envs, n_steps)
             print(f"{name}: {sps:,.0f} env-steps/s "
-                  f"(run {elapsed:.2f}s, compile {compile_time:.1f}s)",
+                  f"(runs {[round(r / 1000, 1) for r in runs]}k, "
+                  f"compile {compile_time:.1f}s)",
                   flush=True)
         except Exception as e:  # noqa: BLE001 — record and continue
             print(f"{name}: FAILED {e}", flush=True)

@@ -38,3 +38,13 @@ def test_two_process_training_matches_single_process():
     assert len(multi["losses"]) == 2
     assert all(all(math.isfinite(l) for l in per_type)
                for per_type in multi["losses"])
+
+
+def test_pod_shape_2x8_matches_1x16():
+    """v5e-16 north-star topology rehearsal: 2 hosts x 8 chips = 16 global
+    devices. The 2-process run (collectives crossing the process boundary,
+    the DCN split of a real pod) must be bit-identical to the
+    single-process 16-device mesh."""
+    multi = _run(2, 8)
+    single = _run(1, 16)
+    assert multi["losses"] == single["losses"], (multi, single)

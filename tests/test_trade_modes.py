@@ -1,13 +1,14 @@
 """Trade-capture mode equivalence.
 
-"compressed" (default) extracts per-message records; "postscan" assembles
-the buffer once per scan from per-slot fill planes via an exact one-hot
-matmul row-gather (engine._finalize_trades_postscan); "inscan" carries the
-trade SoA through the scan and writes fills directly
-(engine._write_trades_inscan). All three must be bit-identical wherever
-their contracts coincide — every cancel mode, cap, and message mix for
-postscan; cap = nTrades for inscan — while the reference semantics
-themselves are pinned by the oracle battery (test_engine_vs_reference.py).
+"compressed" extracts per-message records and assembles the buffer once per
+scan; "inscan" carries the trade SoA through the scan and writes fills
+directly (engine._write_trades_inscan). Both must be bit-identical wherever
+their contracts coincide (cap = nTrades for inscan), while the reference
+semantics themselves are pinned by the oracle battery
+(test_engine_vs_reference.py). A third mode, "postscan" (buffer rebuilt
+from per-slot fill planes by an exact one-hot matmul row-gather), was
+removed in round 3: bit-identical but 13x slower at production shapes on
+v5e — BASELINE.md records the negative result; configs now reject it.
 
 Reference: gymnax_exchange/jaxob/JaxOrderBookArrays.py:172-220 (trade
 append + .at[-1] overflow semantics).
@@ -47,25 +48,6 @@ def _run(cfg, key, msgs, n_orders, n_trades):
 
 
 @pytest.mark.parametrize("cancel_mode", [0, 1, 2, 3])
-@pytest.mark.parametrize("cap", [0, 16, 3])
-def test_postscan_matches_compressed(cancel_mode, cap):
-    n_orders, n_trades = 30, 20
-    cfg_c = LobConfig(nOrders=n_orders, nTrades=n_trades,
-                      cancel_mode=cancel_mode, trade_capture_cap=cap,
-                      trade_capture_mode="compressed")
-    cfg_p = dataclasses.replace(cfg_c, trade_capture_mode="postscan")
-    for seed in range(4):
-        key = jax.random.PRNGKey(seed)
-        msgs = _rand_stream(jax.random.fold_in(key, 1), 120)
-        out_c = _run(cfg_c, key, msgs, n_orders, n_trades)
-        out_p = _run(cfg_p, key, msgs, n_orders, n_trades)
-        for name, a, b in zip(("asks", "bids", "trades"), out_c, out_p):
-            np.testing.assert_array_equal(
-                np.asarray(a), np.asarray(b),
-                err_msg=f"{name} cm={cancel_mode} cap={cap} seed={seed}")
-
-
-@pytest.mark.parametrize("cancel_mode", [0, 1, 2, 3])
 def test_inscan_matches_compressed_fully_exact(cancel_mode):
     """The carried-buffer in-scan write mode at cap = nTrades (where its
     gap-slot semantics provably coincide with the compressed allocation,
@@ -86,7 +68,7 @@ def test_inscan_matches_compressed_fully_exact(cancel_mode):
                 err_msg=f"{name} cm={cancel_mode} seed={seed}")
 
 
-def test_postscan_big_sweep_overflows_buffer():
+def test_inscan_big_sweep_overflows_buffer():
     """Huge aggressive orders: single messages filling dozens of standing
     orders exercise the rank-prefix extraction and the .at[-1] overflow
     wrap in both modes."""
@@ -106,24 +88,23 @@ def test_postscan_big_sweep_overflows_buffer():
     cfg_c = LobConfig(nOrders=n_orders, nTrades=n_trades,
                       trade_capture_mode="compressed")
     out_c = _run(cfg_c, key, msgs, n_orders, n_trades)
-    for mode in ("postscan", "inscan"):
-        out_m = _run(dataclasses.replace(cfg_c, trade_capture_mode=mode),
-                     key, msgs, n_orders, n_trades)
-        for name, a, b in zip(("asks", "bids", "trades"), out_c, out_m):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
-                                          err_msg=f"{mode} {name}")
+    out_m = _run(dataclasses.replace(cfg_c, trade_capture_mode="inscan"),
+                 key, msgs, n_orders, n_trades)
+    for name, a, b in zip(("asks", "bids", "trades"), out_c, out_m):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"inscan {name}")
     # the stream must actually overflow the 12-row buffer for the test to
     # mean anything
     assert int((np.asarray(out_c[2])[:, 0] != -1).sum()) == n_trades
 
 
-def test_postscan_partial_buffer_start():
+def test_inscan_partial_buffer_start():
     """A partially-filled initial trade buffer (mid-scan resume case): the
     base-slot search must agree between modes."""
     n_orders, n_trades = 30, 20
     cfg_c = LobConfig(nOrders=n_orders, nTrades=n_trades,
                       trade_capture_mode="compressed")
-    cfg_p = dataclasses.replace(cfg_c, trade_capture_mode="postscan")
+    cfg_i = dataclasses.replace(cfg_c, trade_capture_mode="inscan")
     key = jax.random.PRNGKey(11)
     msgs = _rand_stream(jax.random.fold_in(key, 3), 60)
     pre = np.full((n_trades, 8), -1, np.int32)
@@ -132,8 +113,15 @@ def test_postscan_partial_buffer_start():
               jnp.asarray(pre))
     out_c = jax.jit(engine.scan_messages, static_argnums=0)(
         cfg_c, key, msgs, book_c)
-    out_p = jax.jit(engine.scan_messages, static_argnums=0)(
-        cfg_p, key, msgs, book_c)
-    for name, a, b in zip(("asks", "bids", "trades"), out_c, out_p):
+    out_i = jax.jit(engine.scan_messages, static_argnums=0)(
+        cfg_i, key, msgs, book_c)
+    for name, a, b in zip(("asks", "bids", "trades"), out_c, out_i):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
+
+
+def test_unknown_trade_mode_raises():
+    cfg = LobConfig(trade_capture_mode="postscan")
+    msgs = _rand_stream(jax.random.PRNGKey(0), 4)
+    with pytest.raises(ValueError, match="trade_capture_mode"):
+        _run(cfg, jax.random.PRNGKey(0), msgs, 10, 10)
