@@ -33,7 +33,12 @@ fill count of each message, replicating engine._finalize_trades's
 ``base0 + cumsum(K)`` slot assignment bit-for-bit at every
 ``trade_capture_cap`` (including the allocated-gap behaviour when a message
 overflows the cap, and the last-slot overflow wrap of
-reference match_order :205-217).
+reference match_order :205-217). Only the 4 *passive* trade columns plus a
+writer-message-index plane (MIDX) ride the scan carry; aggressor columns
+are reconstructed once per scan (``_trades_final``) — the scan is
+carry-bandwidth-bound, so carried bytes are the scarce resource
+(BASELINE.md round-3 records, incl. the rejected deferred-compaction
+redesign that cut ~100 ops/message and measured slower).
 
 Out-of-domain corners (documented, not supported): messages the environment
 never emits can corrupt *empty* slots in the reference — a negative-quant
@@ -141,13 +146,20 @@ def _side_to_slots(rows7, P):
 # Matching + in-scan trade write
 # --------------------------------------------------------------------------- #
 
-def _match_psort(cfg, opp, oppP, oppA1, trades, tbase, qtm, price, agr_oid,
-                 time_s, time_ns, agr_tid, s_eff, opp_is_ask):
+def _match_psort(cfg, opp, oppP, oppA1, trades, tbase, qtm, price, msg_idx,
+                 s_eff, opp_is_ask):
     """Match ``qtm`` at ``price`` against the sorted opposing side; write the
     fills straight into the carried trade planes (rows [0, k) land at trade
     slots [tbase, tbase + min(k, cap)) via a barrel roll; overflow wraps the
     globally-last fill into slot nTrades - 1, matching
-    engine._apply_overflow_last)."""
+    engine._apply_overflow_last).
+
+    The carry holds only the 4 *passive* trade columns (price, signed
+    quantity, passive oid, passive tid) plus a writer-message index plane
+    MIDX — the 4 aggressor columns are per-message scalars reconstructed
+    once per scan by ``_trades_final`` (the exact engine's inscan trick,
+    engine._write_trades_inscan), trimming 3/8 of the carried trade state's
+    scan traffic."""
     p, q, oid, tid, ts, tn, rs = opp
     n = p.shape[0]
     nT = cfg.nTrades
@@ -177,23 +189,20 @@ def _match_psort(cfg, opp, oppP, oppA1, trades, tbase, qtm, price, agr_oid,
         return _roll_dynamic(src, sh, nT)
 
     signed_fill = (-s_eff * fill).astype(I32)
-    roll_fields = {0: p, 1: signed_fill, 2: oid, 6: tid}
-    bcast_fields = {3: agr_oid, 4: time_s, 5: time_ns, 7: agr_tid}
+    roll_fields = (p, signed_fill, oid, tid)     # -> (P, Q, POID, PTID)
     last_sel = _iota(n) == (k - 1)
 
     new_trades = []
-    for f in range(8):
+    for f, fld in enumerate(roll_fields):
         cur = trades[f]
-        if f in roll_fields:
-            fld = roll_fields[f]
-            v = jnp.where(in_range, place(fld), cur)
-            last = jnp.sum(jnp.where(last_sel, fld, 0)).astype(I32)
-        else:
-            fld = jnp.asarray(bcast_fields[f], I32)
-            v = jnp.where(in_range, fld, cur)
-            last = fld
+        v = jnp.where(in_range, place(fld), cur)
+        last = jnp.sum(jnp.where(last_sel, fld, 0)).astype(I32)
         v = jnp.where(write_last & (t_idx == nT - 1), last, v)
         new_trades.append(v.astype(I32))
+    midx = trades[4]
+    midx = jnp.where(in_range, msg_idx, midx)
+    midx = jnp.where(write_last & (t_idx == nT - 1), msg_idx, midx)
+    new_trades.append(midx.astype(I32))
 
     new_tbase = (base + k).astype(I32)          # uncapped: engine.
     #                                             _finalize_trades cum slots
@@ -389,9 +398,9 @@ def _cancel_psort(cfg, key, own, P, A1, price, quant, msg_oid):
 # Branchless unified message application
 # --------------------------------------------------------------------------- #
 
-def _apply_message_psort(cfg, state, key, msg):
+def _apply_message_psort(cfg, state, key, msg, msg_idx=0):
     """Dispatch semantics of engine._apply_message_soa on the parity-sorted
-    carry (rows7 + P + A1 per side, trade planes + cursor)."""
+    carry (rows7 + P + A1 per side, passive trade planes + MIDX + cursor)."""
     (asks, P_a, A1_a, bids, P_b, A1_b, trades, tbase) = state
     t = msg[MsgCol.TYPE]
     s_eff = jnp.where(t == 4, -msg[MsgCol.SIDE], msg[MsgCol.SIDE])
@@ -421,8 +430,7 @@ def _apply_message_psort(cfg, state, key, msg):
     qtm = jnp.where(is_lim, quant, 0)
     (opp_m, oppP_m, oppA1_m, trades_m, tbase_m, qtm_left, _k) = _match_psort(
         cfg, opp, oppP, oppA1, trades, tbase, qtm, match_price,
-        msg[MsgCol.OID], msg[MsgCol.TIME_S], msg[MsgCol.TIME_NS],
-        msg[MsgCol.TID], s_eff=s_eff, opp_is_ask=opp_is_ask)
+        jnp.asarray(msg_idx, I32), s_eff=s_eff, opp_is_ask=opp_is_ask)
 
     own_fa, ownP_fa, ownA1_fa = own, ownP, ownA1
     if cfg.check_book_fill:
@@ -498,13 +506,44 @@ def _scan_init(cfg, book_state):
     first_empty = ex._first_true(tr[4] == -1)
     tbase = jnp.where(first_empty >= 0, first_empty,
                       cfg.nTrades - 1).astype(I32)
-    return (asks, P_a, A1_a, bids, P_b, A1_b, tr, tbase)
+    # carried trade planes: passive columns + writer-message index (-1 =
+    # empty, -2 = occupied before this scan — exact engine inscan scheme)
+    midx = jnp.where(tr[4] == -1, -1, -2).astype(I32)
+    tcarry = (tr[0], tr[1], tr[2], tr[6], midx)
+    return (asks, P_a, A1_a, bids, P_b, A1_b, tcarry, tbase)
 
 
-def _scan_final(state):
+def _trades_final(cfg, tcarry, init_trades_rows, msgs):
+    """Full 8-plane trade buffer from the carried (P, Q, POID, PTID, MIDX):
+    aggressor columns come from the writing message, rows the scan never
+    wrote keep their initial content (identical to engine._scan_trades's
+    inscan reconstruction)."""
+    P, Q, POID, PTID, MIDX = tcarry
+    init = ex._trades_to_soa(init_trades_rows)
+    nT = P.shape[0]
+    M = msgs.shape[0]
+    W = MIDX[:, None] == jax.lax.broadcasted_iota(I32, (nT, M), 1)
+
+    def ag(col):
+        return jnp.sum(jnp.where(W, msgs[None, :, col], 0),
+                       axis=1).astype(I32)
+
+    written = MIDX >= 0
+
+    def mix(w_v, init_v):
+        return jnp.where(written, w_v, init_v).astype(I32)
+
+    return (mix(P, init[0]), mix(Q, init[1]), mix(POID, init[2]),
+            mix(ag(MsgCol.OID), init[3]), mix(ag(MsgCol.TIME_S), init[4]),
+            mix(ag(MsgCol.TIME_NS), init[5]), mix(PTID, init[6]),
+            mix(ag(MsgCol.TID), init[7]))
+
+
+def _scan_final(cfg, state, init_trades_rows, msgs):
     return (ex._side_from_soa(_side_to_slots(state[0], state[1])),
             ex._side_from_soa(_side_to_slots(state[3], state[4])),
-            ex._trades_from_soa(state[6]))
+            ex._trades_from_soa(
+                _trades_final(cfg, state[6], init_trades_rows, msgs)))
 
 
 def scan_messages(cfg, key, msgs, book_state):
@@ -512,11 +551,13 @@ def scan_messages(cfg, key, msgs, book_state):
     init = _scan_init(cfg, book_state)
 
     def step(state, xs):
-        k, m = xs
-        return _apply_message_psort(cfg, state, k, m), None
+        k, m, i = xs
+        return _apply_message_psort(cfg, state, k, m, i), None
 
-    final, _ = jax.lax.scan(step, init, (keys, msgs), unroll=ex._unroll(cfg))
-    return _scan_final(final)
+    idxs = jnp.arange(msgs.shape[0], dtype=I32)
+    final, _ = jax.lax.scan(step, init, (keys, msgs, idxs),
+                            unroll=ex._unroll(cfg))
+    return _scan_final(cfg, final, book_state[2], msgs)
 
 
 def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
@@ -524,14 +565,16 @@ def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
     init = _scan_init(cfg, book_state)
 
     def step(state, xs):
-        k, m = xs
-        new = _apply_message_psort(cfg, state, k, m)
+        k, m, i = xs
+        new = _apply_message_psort(cfg, state, k, m, i)
         best_ask, best_bid = _best_bid_ask_quants_psort(cfg, new)
         return new, (best_ask, best_bid)
 
+    idxs = jnp.arange(msgs.shape[0], dtype=I32)
     final, (asks_hist, bids_hist) = jax.lax.scan(
-        step, init, (keys, msgs), unroll=ex._unroll(cfg))
-    return _scan_final(final), (asks_hist[-n_steps:], bids_hist[-n_steps:])
+        step, init, (keys, msgs, idxs), unroll=ex._unroll(cfg))
+    return (_scan_final(cfg, final, book_state[2], msgs),
+            (asks_hist[-n_steps:], bids_hist[-n_steps:]))
 
 
 def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
@@ -541,18 +584,21 @@ def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
     init = _scan_init(cfg, book_state)
 
     def step(state, xs):
-        k, m = xs
-        new = _apply_message_psort(cfg, state, k, m)
+        k, m, i = xs
+        new = _apply_message_psort(cfg, state, k, m, i)
         a = ex._side_from_soa(_side_to_slots(new[0], new[1]))
         b = ex._side_from_soa(_side_to_slots(new[3], new[4]))
         return new, (a, b)
 
-    final, (asks_h, bids_h) = jax.lax.scan(step, init, (keys, msgs),
+    idxs = jnp.arange(msgs.shape[0], dtype=I32)
+    final, (asks_h, bids_h) = jax.lax.scan(step, init, (keys, msgs, idxs),
                                            unroll=ex._unroll(cfg))
     return (asks_h[-n_steps:], bids_h[-n_steps:],
-            ex._trades_from_soa(final[6]))
+            ex._trades_from_soa(
+                _trades_final(cfg, final[6], book_state[2], msgs)))
 
 
 def apply_message(cfg, book_state, key, msg):
-    state = _apply_message_psort(cfg, _scan_init(cfg, book_state), key, msg)
-    return _scan_final(state)
+    state = _apply_message_psort(cfg, _scan_init(cfg, book_state), key, msg,
+                                 0)
+    return _scan_final(cfg, state, book_state[2], msg[None, :])

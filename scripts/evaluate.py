@@ -10,7 +10,6 @@ layer (baseline_eval/config/2player_config.yaml:49-52).
 import argparse
 import json
 import os
-import pickle
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -66,6 +65,7 @@ def main():
                                               rollout)
     from jaxmarl_hft_tpu.rl.networks import ActorCriticRNN
     from jaxmarl_hft_tpu.rl.ippo import _action_dims
+    from jaxmarl_hft_tpu.utils import trajio
 
     if args.env_config:
         base_cfg = load_config(args.env_config)
@@ -126,13 +126,13 @@ def main():
         print(name, results[name])
         if args.save_trajectories:
             os.makedirs(args.save_trajectories, exist_ok=True)
-            with open(os.path.join(args.save_trajectories,
-                                   f"traj_{name}.pkl"), "wb") as f:
-                pickle.dump(jax.device_get(
+            trajio.save_traj(
+                os.path.join(args.save_trajectories, f"traj_{name}.npz"),
+                jax.device_get(
                     {"rewards": rewards, "infos": infos,
                      "actions": actions, "dones": dones,
                      "combo": name,
-                     "agent_names": [n for n, _ in base_cfg.agents]}), f)
+                     "agent_names": [n for n, _ in base_cfg.agents]}))
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)

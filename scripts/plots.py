@@ -115,9 +115,13 @@ def plot_triangular(results_path: str, out: str):
 
 
 def _load_traj(traj_path: str):
-    """Load a trajectory pickle (scripts/evaluate.py --save-trajectories).
-    Accepts the dict format {"rewards", "infos", "actions", "dones", ...}
-    and the legacy (rewards, infos) tuple."""
+    """Load a trajectory artifact (scripts/evaluate.py --save-trajectories).
+    Canonical format is .npz (utils.trajio); legacy pickles — both the dict
+    format {"rewards", "infos", "actions", "dones", ...} and the
+    (rewards, infos) tuple — still load."""
+    if traj_path.endswith(".npz"):
+        from jaxmarl_hft_tpu.utils import trajio
+        return trajio.load_traj(traj_path)
     with open(traj_path, "rb") as f:
         data = pickle.load(f)
     if isinstance(data, dict):
@@ -155,8 +159,10 @@ def _agent_info_fields(infos, type_idx):
 def traj_for_combo(traj_dir: str, combo: str) -> str:
     """Trajectory file for a combo tag in a directory (reference:
     get_latest_pickle_file, plotting_episodes.py:22-88 — here evaluate.py
-    writes one canonical traj_<combo>.pkl per combo)."""
-    path = os.path.join(traj_dir, f"traj_{combo}.pkl")
+    writes one canonical traj_<combo>.npz per combo)."""
+    path = os.path.join(traj_dir, f"traj_{combo}.npz")
+    if not os.path.exists(path):
+        path = os.path.join(traj_dir, f"traj_{combo}.pkl")
     if not os.path.exists(path):
         raise SystemExit(f"no trajectory for combo {combo}: {path}")
     return path

@@ -271,3 +271,33 @@ def test_sweep_action_space_swap_rederives_n_actions():
     d["AGENT_CONFIGS"] = {"Execution": {"task_size": 99}}
     a = make_agent_configs(d)["Execution"]
     assert (a.action_space, a.n_actions, a.task_size) == ("twap", 1, 99)
+
+
+def test_trajio_roundtrip_exact(tmp_path):
+    """Nested {dict, list, array, str, None} trees survive the npz
+    container bit-for-bit (utils.trajio — shipped trajectory artifacts are
+    npz, not pickle)."""
+    import numpy as np
+
+    from jaxmarl_hft_tpu.utils import trajio
+
+    tree = {
+        "rewards": [np.arange(6, dtype=np.float32).reshape(2, 3),
+                    np.ones((2, 3), np.int32) * -7],
+        "infos": {"world": {"mid": np.array([1.5, 2.5])},
+                  "agents": [{"x": np.zeros(2)}, {"x": np.ones(2)}]},
+        "actions": None,
+        "dones": {"__all__": np.array([True, False])},
+        "combo": "LB",
+        "agent_names": ["MarketMaking", "Execution"],
+    }
+    path = str(tmp_path / "t.npz")
+    trajio.save_traj(path, tree)
+    out = trajio.load_traj(path)
+    assert out["combo"] == "LB"
+    assert out["actions"] is None
+    assert out["agent_names"] == ["MarketMaking", "Execution"]
+    np.testing.assert_array_equal(out["rewards"][1], tree["rewards"][1])
+    np.testing.assert_array_equal(out["infos"]["agents"][1]["x"], np.ones(2))
+    np.testing.assert_array_equal(out["dones"]["__all__"],
+                                  tree["dones"]["__all__"])

@@ -254,3 +254,28 @@ def test_apply_message_single():
         p = engine_psort.apply_message(cfg, book, key, m)
         _assert_bitequal(e, p, "(apply_message)")
         book = e
+
+
+# --------------------------------------------------------------------------- #
+# Mega-kill stress (kept from the round-3 deferred-compaction experiment,
+# which was reverted — BASELINE.md records the negative result): repeated
+# full-side drains are the adversarial case for any compaction scheme.
+# --------------------------------------------------------------------------- #
+
+def test_megakill_refill_cycles_bitequal():
+    """Repeatedly fill a side to capacity and drain it with one huge order
+    (the whole side dies in one message), then refill."""
+    cfg = LobConfig(nOrders=20, nTrades=100)
+    rows = []
+    t = 0
+    for cycle in range(6):
+        for i in range(20):                      # fill ask side to capacity
+            rows.append([1, -1, 3, 100_000 + 100 * (i % 5), 1000 + t,
+                         1000 + t, 34200 + t, t])
+            t += 1
+        # one bid sweeps the whole side (20 kills in one message)
+        rows.append([1, 1, 500, 101_000, 2000 + t, 2000 + t, 34200 + t, t])
+        t += 1
+    msgs = jnp.asarray(np.array(rows, dtype=np.int32))
+    e, p = _run_both(cfg, msgs)
+    _assert_bitequal(e, p, "(megakill/refill cycles)")

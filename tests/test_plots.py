@@ -6,6 +6,8 @@ baseline_eval/plotting_episodes.py:1-761, plotting_combinations.py:1-694).
 import importlib.util
 import os
 import pickle
+
+from jaxmarl_hft_tpu.utils import trajio
 import sys
 
 import jax
@@ -25,7 +27,8 @@ def _load_plots():
 
 @pytest.fixture(scope="module")
 def traj_dir(tmp_path_factory):
-    """Tiny 2-type rollout -> trajectory pickles for two combos."""
+    """Tiny 2-type rollout -> trajectory artifacts (one npz, one legacy
+    pickle — both load paths stay covered)."""
     from jaxmarl_hft_tpu.config.structs import (ExecConfig, MMConfig,
                                                 MultiAgentConfig, WorldConfig)
     from jaxmarl_hft_tpu.envs.marl import MarlEnv
@@ -49,18 +52,22 @@ def traj_dir(tmp_path_factory):
     out = tmp_path_factory.mktemp("trajs")
     for combo in ("LL", "LB"):
         rewards, dones, infos, actions = rollout(env, policies, 2, 6, seed=3)
-        with open(out / f"traj_{combo}.pkl", "wb") as f:
-            pickle.dump(jax.device_get(
-                {"rewards": rewards, "infos": infos, "actions": actions,
-                 "dones": dones, "combo": combo,
-                 "agent_names": ["MarketMaking", "Execution"]}), f)
+        tree = jax.device_get(
+            {"rewards": rewards, "infos": infos, "actions": actions,
+             "dones": dones, "combo": combo,
+             "agent_names": ["MarketMaking", "Execution"]})
+        if combo == "LB":                       # keep the legacy path covered
+            with open(out / f"traj_{combo}.pkl", "wb") as f:
+                pickle.dump(tree, f)
+        else:
+            trajio.save_traj(str(out / f"traj_{combo}.npz"), tree)
     return str(out)
 
 
 def test_episode_panels(traj_dir, tmp_path):
     plots = _load_plots()
     written = plots.plot_episode(
-        os.path.join(traj_dir, "traj_LL.pkl"), str(tmp_path / "figs"),
+        os.path.join(traj_dir, "traj_LL.npz"), str(tmp_path / "figs"),
         env_indices=(0, 1))
     names = {os.path.basename(p) for p in written}
     assert "actions.png" in names
@@ -93,7 +100,7 @@ def test_combo_heatmap_ci(traj_dir, tmp_path):
 def test_feature_filter(traj_dir, tmp_path):
     plots = _load_plots()
     written = plots.plot_episode(
-        os.path.join(traj_dir, "traj_LL.pkl"), str(tmp_path / "figs"),
+        os.path.join(traj_dir, "traj_LL.npz"), str(tmp_path / "figs"),
         env_indices=(0,), features=["inventory"])
     agent_feats = [p for p in written
                    if os.path.basename(p).split("_", 1)[0]
