@@ -65,6 +65,35 @@ from . import engine as ex
 I32 = jnp.int32
 
 
+def domain_violations(msgs):
+    """Per-message mask of the out-of-domain fields where this engine's
+    behaviour deliberately diverges from the reference on *empty slots*
+    (module docstring): a negative quantity (cancel residue corruption) or
+    a -1 price on an active message type (junk-row add). The environment
+    never emits these; standalone callers feeding unvalidated streams
+    through get_scan_fns can gate on this mask (jittable) or call
+    ``assert_in_domain`` host-side."""
+    t = msgs[..., MsgCol.TYPE]
+    active = (t >= 1) & (t <= 4)
+    return active & ((msgs[..., MsgCol.QUANT] < 0)
+                     | (msgs[..., MsgCol.PRICE] == -1))
+
+
+def assert_in_domain(msgs):
+    """Host-side guard for standalone psort callers (not usable under jit;
+    see domain_violations for the jittable mask)."""
+    import numpy as np
+    bad = np.asarray(domain_violations(jnp.asarray(msgs)))
+    if bad.any():
+        idx = np.argwhere(bad)[:5].tolist()
+        raise ValueError(
+            f"psort domain violation at message indices {idx}: negative "
+            "quantity or price == -1 on an active message — the reference "
+            "corrupts empty slots here and psort intentionally does not "
+            "(engine_psort module docstring); use matching_engine='exact' "
+            "for bit-parity on such streams")
+
+
 def _iota(n):
     return jax.lax.broadcasted_iota(I32, (n,), 0)
 

@@ -21,11 +21,18 @@ from bench import _preflight, bench_rollout, build_env
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--envs", type=int, default=512)
-    ap.add_argument("--steps", type=int, default=16)
-    ap.add_argument("--agents", type=str, default="1,1;5,5",
+    # defaults = the reference grid at reference fidelity
+    # (Speed_test.py:61-80: 4000 envs x 50 steps, agents [1,1]/[5,5]/[10,10],
+    # n_data_msg {100, 1}), run on the SHIPPED default engine
+    ap.add_argument("--envs", type=int, default=4000)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--agents", type=str, default="1,1;5,5;10,10",
                     help="semicolon-separated agent-count pairs")
     ap.add_argument("--n-data-msg", type=str, default="100,1")
+    ap.add_argument("--engine", type=str, default="psort",
+                    choices=["exact", "sorted", "psort"])
+    ap.add_argument("--trade-cap", type=int, default=0,
+                    help="0 = nTrades (fully exact)")
     ap.add_argument("--out", type=str, default="speed_test_results.csv")
     args = ap.parse_args()
 
@@ -39,17 +46,21 @@ def main():
 
     rows = []
     for n_per_type, n_msg in itertools.product(agent_grid, msg_grid):
-        env = build_env(n_data_msg=n_msg, n_per_type=n_per_type)
-        sps, compile_time, elapsed = bench_rollout(env, args.envs, args.steps)
+        env = build_env(n_data_msg=n_msg, n_per_type=n_per_type,
+                        engine=args.engine, trade_capture_cap=args.trade_cap,
+                        trade_mode="auto")
+        sps, compile_time, runs = bench_rollout(env, args.envs, args.steps)
         row = {
             "agents_per_type": str(n_per_type),
             "n_data_msg": n_msg,
             "num_envs": args.envs,
             "num_steps": args.steps,
             "msgs_per_step": env.num_msgs_per_step,
+            "engine": args.engine,
+            "trade_cap": args.trade_cap,
             "avg_steps_per_sec": round(sps, 1),
             "compile_s": round(compile_time, 1),
-            "run_s": round(elapsed, 3),
+            "runs": "|".join(str(round(r, 1)) for r in runs),
         }
         rows.append(row)
         print(row)

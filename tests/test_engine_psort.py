@@ -279,3 +279,21 @@ def test_megakill_refill_cycles_bitequal():
     msgs = jnp.asarray(np.array(rows, dtype=np.int32))
     e, p = _run_both(cfg, msgs)
     _assert_bitequal(e, p, "(megakill/refill cycles)")
+
+
+def test_domain_violation_guard():
+    """Out-of-domain messages (negative quant / price == -1 on an active
+    type) are the one corner where psort deliberately diverges from the
+    reference's empty-slot corruption; the guard helpers must flag exactly
+    those."""
+    good = jnp.asarray([[1, 1, 5, 1000, 7, 7, 1, 0],
+                        [2, -1, 3, 900, 8, 8, 1, 1],
+                        [0, 0, -5, -1, 0, 0, 0, 0]], I32)   # type 0: inert
+    assert not np.asarray(engine_psort.domain_violations(good)).any()
+    engine_psort.assert_in_domain(good)
+
+    bad = jnp.asarray([[2, 1, -4, 1000, 7, 7, 1, 0],        # negative quant
+                       [1, 1, 5, -1, 9, 9, 1, 0]], I32)     # price == -1 add
+    assert np.asarray(engine_psort.domain_violations(bad)).all()
+    with pytest.raises(ValueError, match="domain violation"):
+        engine_psort.assert_in_domain(bad)
