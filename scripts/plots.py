@@ -338,9 +338,10 @@ def plot_combination_heatmap_ci(traj_dir: str, out: str):
     trajectory pickles (reference: plotting_combinations.py:1-694 spread/CI
     handling)."""
     files = sorted(f for f in os.listdir(traj_dir)
-                   if f.startswith("traj_") and f.endswith(".pkl"))
+                   if f.startswith("traj_")
+                   and f.endswith((".npz", ".pkl")))
     if not files:
-        raise SystemExit(f"no traj_*.pkl under {traj_dir}")
+        raise SystemExit(f"no traj_*.npz under {traj_dir}")
     combos, means, stds = [], [], []
     for f in files:
         data = _load_traj(os.path.join(traj_dir, f))
