@@ -2,10 +2,13 @@
 
 Shipped trajectory artifacts are .npz, not pickle: pickles execute
 arbitrary code on load (a hazard for anything distributed with a repo) and
-are opaque to non-Python tooling. A nested {dict, list, leaf-array} tree is
-flattened to slash-separated keys ("infos/world/mid_price", "rewards/0");
-lists are recognised on load by all-integer child keys. `None` leaves are
-recorded with a sentinel key so round-trips are exact.
+are opaque to non-Python tooling. A nested {dict, list, leaf} tree is
+flattened to slash-separated keys ("infos/world/mid_price", "rewards/0").
+Lists are marked explicitly with a length key (``<prefix>/__len__``) so a
+dict that happens to have digit keys round-trips as a dict, empty
+containers survive, and `None` leaves are recorded with a sentinel key —
+round-trips are exact for {dict, list/tuple, ndarray, str, bytes, None}
+(tuples come back as lists).
 
 Reference parity note: the upstream eval harness pickles `traj_batch`
 (baseline_JAXMARL.py:624-679); this is the same artifact with a safe,
@@ -16,25 +19,29 @@ from __future__ import annotations
 import numpy as np
 
 _NONE_KEY = "__none__"
+_LEN_KEY = "__len__"
+_EMPTY_DICT_KEY = "__empty_dict__"
 
 
 def _flatten(obj, prefix, out):
     if obj is None:
         out[prefix + _NONE_KEY] = np.zeros((), np.int8)
     elif isinstance(obj, dict):
+        if not obj:
+            out[prefix + _EMPTY_DICT_KEY] = np.zeros((), np.int8)
         for k, v in obj.items():
             _flatten(v, f"{prefix}{k}/", out)
     elif isinstance(obj, (list, tuple)):
+        out[prefix + _LEN_KEY] = np.asarray(len(obj), np.int64)
         for i, v in enumerate(obj):
             _flatten(v, f"{prefix}{i}/", out)
-    elif isinstance(obj, (str, bytes)):
-        out[prefix.rstrip("/")] = np.asarray(obj)
     else:
         out[prefix.rstrip("/")] = np.asarray(obj)
 
 
 def save_traj(path: str, tree) -> None:
-    """Write a nested {dict,list,array,str,None} tree as compressed npz."""
+    """Write a nested {dict,list,ndarray,str,bytes,None} tree as
+    compressed npz."""
     flat = {}
     _flatten(tree, "", flat)
     np.savez_compressed(path, **flat)
@@ -47,24 +54,27 @@ def _insert(root, parts, value):
     node[parts[-1]] = value
 
 
-def _listify(node):
+def _rebuild(node):
     if not isinstance(node, dict):
         return node
-    if len(node) == 1 and _NONE_KEY in node:
+    if _NONE_KEY in node:
         return None
-    out = {k: _listify(v) for k, v in node.items()}
-    if out and all(k.isdigit() for k in out):
-        return [out[str(i)] for i in range(len(out))]
-    return out
+    if _EMPTY_DICT_KEY in node:
+        return {}
+    if _LEN_KEY in node:
+        n = int(node[_LEN_KEY])
+        return [_rebuild(node[str(i)]) for i in range(n)]
+    return {k: _rebuild(v) for k, v in node.items()}
 
 
 def load_traj(path: str):
-    """Inverse of save_traj. Scalar string arrays come back as str."""
+    """Inverse of save_traj. 0-dim string/bytes arrays come back as
+    str/bytes."""
     with np.load(path, allow_pickle=False) as z:
         root = {}
         for k in z.files:
             v = z[k]
-            if v.dtype.kind in ("U", "S") and v.ndim == 0:
-                v = str(v)
+            if v.ndim == 0 and v.dtype.kind in ("U", "S"):
+                v = v.item()          # str for U, bytes for S
             _insert(root, k.split("/"), v)
-    return _listify(root)
+    return _rebuild(root)

@@ -337,9 +337,13 @@ def plot_combination_heatmap_ci(traj_dir: str, out: str):
     ±std annotation, computed from per-env episode returns in the
     trajectory pickles (reference: plotting_combinations.py:1-694 spread/CI
     handling)."""
-    files = sorted(f for f in os.listdir(traj_dir)
-                   if f.startswith("traj_")
-                   and f.endswith((".npz", ".pkl")))
+    by_combo = {}                      # npz preferred over a stale legacy pkl
+    for f in sorted(os.listdir(traj_dir)):
+        if f.startswith("traj_") and f.endswith((".npz", ".pkl")):
+            combo = f[5:-4]
+            if combo not in by_combo or f.endswith(".npz"):
+                by_combo[combo] = f
+    files = [by_combo[c] for c in sorted(by_combo)]
     if not files:
         raise SystemExit(f"no traj_*.npz under {traj_dir}")
     combos, means, stds = [], [], []

@@ -32,7 +32,13 @@ make -C "$REPO_DIR" native
 # smoke: one jitted matmul on the TPU + a 2-step env rollout
 $PYTHON - <<'PY'
 import jax, jax.numpy as jnp
-print("devices:", jax.devices())
+devs = jax.devices()
+print("devices:", devs)
+assert devs[0].platform == "tpu", (
+    f"setup smoke found platform {devs[0].platform!r}, not TPU — a "
+    "pre-existing CPU-only jax masked the pinned install; rerun with the "
+    "stock jax removed (pip uninstall jax jaxlib) or install "
+    "requirements_tpu.txt manually")
 x = jnp.ones((256, 256))
 print("matmul ok:", float((x @ x).sum()))
 from jaxmarl_hft_tpu.config.structs import (ExecConfig, MMConfig,

@@ -9,10 +9,16 @@
 #   scripts/train_robust.sh [--stall-secs N] [--max-retries N] \
 #       -- <train.py args...  (must include --checkpoint-dir and --log-file)>
 #
-# Stall detection: the --log-file stops growing for N seconds.
+# --full-checkpoints is appended automatically (resume needs resumable
+# checkpoints from attempt 0). Stall detection: the --log-file stops
+# growing for N seconds. N must exceed the worst-case compile + one chunk
+# wall time — the log only advances at update boundaries and tunnel
+# compiles run 45-600s (CLAUDE.md) — or a healthy long chunk is killed and
+# retried forever; the 1800s default covers 600s compile + a 20-update
+# chunk at 4096 envs with wide margin.
 set -uo pipefail
 
-STALL_SECS=900
+STALL_SECS=1800
 MAX_RETRIES=8
 while [[ "${1:-}" != "--" && $# -gt 0 ]]; do
     case "$1" in
@@ -23,7 +29,7 @@ while [[ "${1:-}" != "--" && $# -gt 0 ]]; do
     esac
 done
 shift  # the --
-ARGS=("$@")
+ARGS=("$@" --full-checkpoints)
 
 LOG_FILE=""
 for ((i = 0; i < ${#ARGS[@]}; i++)); do

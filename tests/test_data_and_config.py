@@ -290,6 +290,13 @@ def test_trajio_roundtrip_exact(tmp_path):
         "dones": {"__all__": np.array([True, False])},
         "combo": "LB",
         "agent_names": ["MarketMaking", "Execution"],
+        # adversarial structure: digit-keyed dict (must NOT become a
+        # list), empty containers, None inside a list, bytes leaf
+        "digit_dict": {"0": np.zeros(1), "1": np.ones(1)},
+        "empty_list": [],
+        "empty_dict": {},
+        "holey": [np.zeros(1), {}, None],
+        "raw": b"bytes-leaf",
     }
     path = str(tmp_path / "t.npz")
     trajio.save_traj(path, tree)
@@ -301,3 +308,8 @@ def test_trajio_roundtrip_exact(tmp_path):
     np.testing.assert_array_equal(out["infos"]["agents"][1]["x"], np.ones(2))
     np.testing.assert_array_equal(out["dones"]["__all__"],
                                   tree["dones"]["__all__"])
+    assert isinstance(out["digit_dict"], dict)
+    assert set(out["digit_dict"]) == {"0", "1"}
+    assert out["empty_list"] == [] and out["empty_dict"] == {}
+    assert out["holey"][1] == {} and out["holey"][2] is None
+    assert out["raw"] == b"bytes-leaf"
