@@ -66,19 +66,22 @@ def bench_rollout(env, n_envs, n_steps, seed=0):
         obs, state, rewards, dones, info = jax.vmap(
             env.step, in_axes=(0, 0, 0, None))(step_keys, state, actions,
                                                params)
-        return state, rewards[0][..., 0].sum()
+        # runtime exactness certificate: any env overflowing the trade cap
+        # this step (constant False for psort/sorted backends)
+        return state, (rewards[0][..., 0].sum(),
+                       jnp.any(info["world"]["trade_overflow"]))
 
     @jax.jit
     def rollout(state, key):
         keys = jax.random.split(key, n_steps)
-        state, rs = jax.lax.scan(one_step, state, keys)
-        return state, rs.sum()
+        state, (rs, ovf) = jax.lax.scan(one_step, state, keys)
+        return state, rs.sum(), jnp.any(ovf)
 
     import numpy as np
 
     # compile
     t0 = time.time()
-    state2, s = rollout(state, jax.random.PRNGKey(1))
+    state2, s, ovf = rollout(state, jax.random.PRNGKey(1))
     np.asarray(s)
     compile_time = time.time() - t0
 
@@ -89,13 +92,15 @@ def bench_rollout(env, n_envs, n_steps, seed=0):
     # tunnel's window-to-window variance is ±20% but within-window runs are
     # tight; the median makes the official number robust to a single hiccup.
     runs = []
+    overflowed = bool(np.asarray(ovf))
     for i in (2, 3, 4):
         t0 = time.time()
-        _, s = rollout(state, jax.random.PRNGKey(i))
+        _, s, ovf = rollout(state, jax.random.PRNGKey(i))
         np.asarray(s)
         runs.append(n_envs * n_steps / (time.time() - t0))
+        overflowed |= bool(np.asarray(ovf))
     steps_per_sec = sorted(runs)[len(runs) // 2]
-    return steps_per_sec, compile_time, runs
+    return steps_per_sec, compile_time, runs, overflowed
 
 
 def _preflight_once(timeout_s: int) -> bool:
@@ -145,22 +150,57 @@ def _preflight(budget_s: int = 600) -> bool:
     return False
 
 
+def _measure(args, engine, trade_cap, trade_mode, timeout_s=1500):
+    """Build + bench one configuration under an alarm watchdog (a wedged
+    compile through the tunnel must not zero the whole bench — see
+    CLAUDE.md). Returns (steps/s, runs, overflowed) or None on timeout."""
+    import signal
+
+    def _bail(signum, frame):
+        raise TimeoutError(f"measurement timed out ({timeout_s}s)")
+
+    old = signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(timeout_s)
+    try:
+        env = build_env(n_data_msg=args.n_data_msg, engine=engine,
+                        trade_capture_cap=trade_cap, trade_mode=trade_mode)
+        sps, compile_time, runs, ovf = bench_rollout(env, args.envs,
+                                                     args.steps)
+        print(f"# {engine} cap={trade_cap}: "
+              f"runs={[round(r / 1000, 1) for r in runs]}k "
+              f"overflow={ovf} compile={compile_time:.1f}s",
+              file=sys.stderr)
+        return sps, runs, ovf
+    except Exception as e:  # noqa: BLE001 - report what we have
+        print(f"# measurement ({engine}, cap={trade_cap}) FAILED: {e}",
+              file=sys.stderr)
+        return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--n-data-msg", type=int, default=100)
+    ap.add_argument("--mode", type=str, default="certified",
+                    choices=["certified", "single"],
+                    help="certified (default): measure the production "
+                         "operating point — exact engine + trade cap 16 with "
+                         "the runtime exactness certificate (bit-exact "
+                         "unless the overflow flag fires, which is checked "
+                         "every step) — AND the cap-independent fully-exact "
+                         "psort backend in the same process/window. "
+                         "single: bench only --engine/--trade-cap")
     ap.add_argument("--engine", type=str, default="psort",
                     choices=["exact", "sorted", "psort"],
-                    help="matching backend (default: the shipped default — "
-                         "psort, bit-parity with FULLY exact trade capture; "
-                         "'--engine exact --trade-cap 16' is the faster "
-                         "capped mode, exact unless one message fills >16 "
-                         "orders)")
+                    help="matching backend for --mode single")
     ap.add_argument("--trade-cap", type=int, default=0,
                     help="max fills recorded per single message (0 = "
-                         "nTrades, fully exact — the default; the psort "
-                         "engine is cap-independent)")
+                         "nTrades, fully exact; the psort engine is "
+                         "cap-independent). --mode single only")
     ap.add_argument("--trade-mode", type=str, default="auto",
                     choices=["auto", "compressed", "inscan"],
                     help="exact-engine trade-buffer assembly (bit-identical "
@@ -175,24 +215,78 @@ def main():
             "vs_baseline": 0}))
         return
 
-    env = build_env(n_data_msg=args.n_data_msg, engine=args.engine,
-                    trade_capture_cap=args.trade_cap,
-                    trade_mode=args.trade_mode)
-    sps, compile_time, runs = bench_rollout(env, args.envs, args.steps)
     target_per_chip = 1_000_000 / 16  # BASELINE.md: 1M aggregate on v5e-16
+
+    if args.mode == "single":
+        res = _measure(args, args.engine, args.trade_cap, args.trade_mode,
+                       timeout_s=3000)
+        if res is None:
+            print(json.dumps({
+                "metric": "env_steps_per_sec", "value": 0,
+                "unit": "env-steps/s/chip (measurement failed)",
+                "vs_baseline": 0}))
+            return
+        sps, runs, ovf = res
+        print(json.dumps({
+            "metric": "env_steps_per_sec",
+            "value": round(sps, 1),
+            "unit": (f"env-steps/s/chip (2-player MM+exec, 112 msgs/step, "
+                     f"{args.engine} engine, "
+                     f"{'FULLY exact' if args.trade_cap == 0 else 'cap=' + str(args.trade_cap)}"
+                     f" trade capture; median of 3 warm runs)"),
+            "vs_baseline": round(sps / target_per_chip, 3),
+            "trade_overflow_fired": ovf,
+            "runs": [round(r, 1) for r in runs],
+        }))
+        return
+
+    # certified mode: the production operating point first (exact engine,
+    # cap=16, per-step runtime exactness certificate), then the
+    # cap-independent fully-exact psort default — same process, same tunnel
+    # window, so the two numbers are comparable (CLAUDE.md: window-to-window
+    # throughput varies ±20%)
+    cert = _measure(args, "exact", 16, "auto")
+    ps = _measure(args, "psort", 0, "auto")
+
+    cert_clean = cert is not None and not cert[2]
+    if cert_clean:
+        sps, runs, _ = cert
+        unit = ("env-steps/s/chip (2-player MM+exec, 112 msgs/step, exact "
+                "engine cap=16, runtime-CERTIFIED bit-exact trade capture — "
+                "per-step overflow flag stayed False across all timed "
+                "rollouts, so output is bit-identical to fully-exact; "
+                "median of 3 warm runs"
+                + (f"; psort fully-exact same-window = {ps[0]:.0f}"
+                   if ps else "") + ")")
+    elif ps is not None:
+        # certificate fired or capped run failed: fully-exact psort is the
+        # honest headline
+        sps, runs, _ = ps
+        unit = ("env-steps/s/chip (2-player MM+exec, 112 msgs/step, psort "
+                "engine, FULLY exact trade capture; median of 3 warm runs; "
+                "capped-mode certificate "
+                + ("FIRED" if cert else "unavailable") + " this window)")
+    else:
+        print(json.dumps({
+            "metric": "env_steps_per_sec", "value": 0,
+            "unit": "env-steps/s/chip (all measurements failed; see "
+                    "BASELINE.md for recorded numbers)",
+            "vs_baseline": 0}))
+        return
+
     print(json.dumps({
         "metric": "env_steps_per_sec",
         "value": round(sps, 1),
-        "unit": (f"env-steps/s/chip (2-player MM+exec, 112 msgs/step, "
-                 f"{args.engine} engine, "
-                 f"{'FULLY exact' if args.trade_cap == 0 else 'cap=' + str(args.trade_cap)}"
-                 f" trade capture; median of 3 warm runs)"),
+        "unit": unit,
         "vs_baseline": round(sps / target_per_chip, 3),
+        "certified_exact": bool(cert_clean or (cert is None and ps)),
+        "trade_overflow_fired": bool(cert[2]) if cert else None,
         "runs": [round(r, 1) for r in runs],
+        "psort_fully_exact": round(ps[0], 1) if ps else None,
+        "psort_runs": [round(r, 1) for r in ps[1]] if ps else None,
+        "certified_cap16": round(cert[0], 1) if cert else None,
     }))
-    print(f"# envs={args.envs} steps={args.steps} "
-          f"runs={[round(r / 1000, 1) for r in runs]}k "
-          f"compile={compile_time:.1f}s device={jax.devices()[0]}",
+    print(f"# envs={args.envs} steps={args.steps} device={jax.devices()[0]}",
           file=sys.stderr)
 
 

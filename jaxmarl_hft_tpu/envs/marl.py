@@ -201,11 +201,15 @@ class MarlEnv:
         combined_msgs = jnp.concatenate(
             [all_cancel_msgs, all_action_msgs, data_messages], axis=0)
 
-        # (D) one engine scan over the combined stream
+        # (D) one engine scan over the combined stream; the third output is
+        # the runtime exactness certificate (engine._overflow_flag): True iff
+        # some message filled more orders than trade_capture_cap this step,
+        # i.e. iff the capped trade buffer may deviate from fully-exact
+        # capture (constant False for the psort/sorted backends)
         trades_reinit = engine.init_trades(wc.nTrades)
-        _, scan_bidask = engine_sorted.get_scan_fns(wc)
-        (new_asks, new_bids, new_trades), (new_bestasks, new_bestbids) = \
-            scan_bidask(
+        scan_bidask_cert = engine_sorted.get_cert_scan_fn(wc)
+        ((new_asks, new_bids, new_trades), (new_bestasks, new_bestbids),
+         trade_overflow) = scan_bidask_cert(
                 wc, key, combined_msgs,
                 (ws.ask_raw_orders, ws.bid_raw_orders, trades_reinit),
                 self.num_msgs_per_step)
@@ -285,6 +289,11 @@ class MarlEnv:
             "abort_episode": abort_episode,
             "spread": new_world_state.best_asks[-1, 0]
             - new_world_state.best_bids[-1, 0],
+            # repo addition (not in the reference's info dict): per-step
+            # trade-capture exactness certificate — False certifies the
+            # step's trades are bit-identical to fully-exact capture even
+            # under a finite trade_capture_cap
+            "trade_overflow": trade_overflow,
         }
         if wc.debug_mode:
             world_info.update({

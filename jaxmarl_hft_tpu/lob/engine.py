@@ -584,7 +584,9 @@ def _apply_message_soa(cfg, state, key, msg, msg_idx=0):
         new_trades_soa = _write_trades_inscan(
             cfg, trades_soa, fills[0], fills[1], opp[0], opp[2], opp[3], k,
             last_fill, s_eff, jnp.asarray(msg_idx, I32))
-        fill_rec = ()
+        # fill count only: feeds the runtime exactness certificate
+        # (_overflow_flag); the trade buffer itself rides the carry
+        fill_rec = (k,)
     else:
         fill_rec = (fills[0], (-s_eff * fills[1]).astype(I32), fills[2],
                     fills[3], last_fill[0],
@@ -800,10 +802,7 @@ def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
     return (asks_hist, bids_hist, _trades_from_soa(trades))
 
 
-def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
-    """As scan_messages, saving best bid/ask (price, quantity) after each of
-    the last ``n_steps`` messages
-    (reference: scan_through_entire_array_save_bidask :791-823)."""
+def _scan_bidask_impl(cfg, key, msgs, book_state, n_steps: int):
     keys = jax.random.split(key, msgs.shape[0])
     soa = _scan_init(cfg, book_state)
 
@@ -819,7 +818,37 @@ def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
     trades = _scan_trades(cfg, final, book_state[2], recs, msgs)
     last = (_side_from_soa(final[0]), _side_from_soa(final[1]),
             _trades_from_soa(trades))
-    return last, (asks_hist[-n_steps:], bids_hist[-n_steps:])
+    return last, (asks_hist[-n_steps:], bids_hist[-n_steps:]), recs
+
+
+def _overflow_flag(cfg, recs):
+    """Runtime exactness certificate: True iff some message's fill count
+    exceeded ``trade_capture_cap`` this scan — the one condition under which
+    the capped trade buffer can deviate from fully-exact capture (see
+    _finalize_trades; the overflow slot itself stays exact via the last-fill
+    record). When this is False the scan's trades output is bit-identical to
+    a cap = nTrades run, so a capped rollout with a clean certificate is
+    *certified* exact at the capped mode's throughput (BASELINE.md
+    "trade-capture cap"). Fill counts per message are already in the scan
+    records: compressed mode carries K at index 8, inscan emits (k,)."""
+    K = recs[8] if _trade_mode(cfg) == "compressed" else recs[0]
+    return jnp.any(K > _trade_cap(cfg))
+
+
+def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
+    """As scan_messages, saving best bid/ask (price, quantity) after each of
+    the last ``n_steps`` messages
+    (reference: scan_through_entire_array_save_bidask :791-823)."""
+    last, hist, _ = _scan_bidask_impl(cfg, key, msgs, book_state, n_steps)
+    return last, hist
+
+
+def scan_messages_save_bidask_cert(cfg, key, msgs, book_state, n_steps: int):
+    """scan_messages_save_bidask + the per-scan overflow certificate
+    (_overflow_flag). Returns (last_state, (asks_hist, bids_hist),
+    overflow: bool scalar)."""
+    last, hist, recs = _scan_bidask_impl(cfg, key, msgs, book_state, n_steps)
+    return last, hist, _overflow_flag(cfg, recs)
 
 
 # --------------------------------------------------------------------------- #

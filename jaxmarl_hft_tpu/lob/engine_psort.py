@@ -606,6 +606,16 @@ def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
             (asks_hist[-n_steps:], bids_hist[-n_steps:]))
 
 
+def scan_messages_save_bidask_cert(cfg, key, msgs, book_state, n_steps: int):
+    """save_bidask + exactness certificate. psort's trade capture is
+    cap-independent and always fully exact (the sorted-side barrel-roll
+    write has no per-message record cap), so the overflow flag is
+    identically False — the constant lowers to nothing under jit."""
+    last, hist = scan_messages_save_bidask(cfg, key, msgs, book_state,
+                                           n_steps)
+    return last, hist, jnp.asarray(False)
+
+
 def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
     """Debug-path variant: converts to slot layout after every message (the
     per-message (n, n) conversion is paid only in debug mode)."""

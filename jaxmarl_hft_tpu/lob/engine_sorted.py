@@ -355,6 +355,16 @@ def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
     return last, (asks_hist[-n_steps:], bids_hist[-n_steps:])
 
 
+def scan_messages_save_bidask_cert(cfg, key, msgs, book_state, n_steps: int):
+    """save_bidask + exactness certificate. The sorted engine's in-scan
+    trade write is cap-independent (content-exact capture; only the slot
+    layout deviates from the reference), so the overflow flag is
+    identically False."""
+    last, hist = scan_messages_save_bidask(cfg, key, msgs, book_state,
+                                           n_steps)
+    return last, hist, jnp.asarray(False)
+
+
 def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
     keys = jax.random.split(key, msgs.shape[0])
     soa = _to_soa(book_state)
@@ -415,3 +425,13 @@ def get_scan_fns(cfg):
     (see get_engine)."""
     mod = get_engine(cfg)
     return mod.scan_messages, mod.scan_messages_save_bidask
+
+
+def get_cert_scan_fn(cfg):
+    """scan_messages_save_bidask_cert for cfg.matching_engine: like the
+    bidask scan but also returns the per-scan runtime exactness certificate
+    (engine._overflow_flag) — True iff a message filled more standing orders
+    than trade_capture_cap, i.e. iff the capped trade buffer may deviate
+    from fully-exact capture. Constant False for the cap-independent psort
+    and sorted backends."""
+    return get_engine(cfg).scan_messages_save_bidask_cert

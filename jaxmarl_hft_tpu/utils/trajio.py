@@ -30,6 +30,20 @@ def _flatten(obj, prefix, out):
         if not obj:
             out[prefix + _EMPTY_DICT_KEY] = np.zeros((), np.int8)
         for k, v in obj.items():
+            # keys that collide with the encoding (path separator or
+            # sentinel names) must fail loudly at SAVE time — they would
+            # otherwise silently round-trip to a different tree structure
+            # at load time (e.g. a literal '__len__' key rebuilds the dict
+            # as a list, 'a/b' rebuilds as nested dicts). Digit-only keys
+            # are safe: lists are marked by an explicit __len__ sentinel.
+            if not isinstance(k, str):
+                raise ValueError(f"dict key {k!r} is not a str (path "
+                                 f"{prefix!r}); npz traj keys must be str")
+            if "/" in k or k in (_NONE_KEY, _LEN_KEY, _EMPTY_DICT_KEY):
+                raise ValueError(
+                    f"dict key {k!r} (path {prefix!r}) collides with the "
+                    "flat-key encoding ('/' or sentinel name) and would "
+                    "corrupt the round-trip")
             _flatten(v, f"{prefix}{k}/", out)
     elif isinstance(obj, (list, tuple)):
         out[prefix + _LEN_KEY] = np.asarray(len(obj), np.int64)

@@ -95,10 +95,7 @@ def main():
 
     for eng in engines:
         ecfg = replace_cfg(cfg, matching_engine=eng)
-        elif eng == "sorted":
-            scan = engine_sorted.scan_messages_save_bidask
-        else:
-            scan = engine.scan_messages_save_bidask
+        scan = engine_sorted.get_engine(ecfg).scan_messages_save_bidask
         for kind in ("noop", "adds", "cancels", "match"):
             msgs = jnp.asarray(np.stack([
                 make_stream(kind, n_msgs, np.random.default_rng(100 + e))

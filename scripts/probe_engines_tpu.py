@@ -43,7 +43,7 @@ def main():
                             engine=kw["engine"],
                             trade_capture_cap=kw["trade_capture_cap"],
                             trade_mode=kw["trade_mode"])
-            sps, compile_time, runs = bench_rollout(env, n_envs, n_steps)
+            sps, compile_time, runs, _ovf = bench_rollout(env, n_envs, n_steps)
             print(f"{name}: {sps:,.0f} env-steps/s "
                   f"(runs {[round(r / 1000, 1) for r in runs]}k, "
                   f"compile {compile_time:.1f}s)",

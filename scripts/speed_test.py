@@ -49,7 +49,7 @@ def main():
         env = build_env(n_data_msg=n_msg, n_per_type=n_per_type,
                         engine=args.engine, trade_capture_cap=args.trade_cap,
                         trade_mode="auto")
-        sps, compile_time, runs = bench_rollout(env, args.envs, args.steps)
+        sps, compile_time, runs, _ovf = bench_rollout(env, args.envs, args.steps)
         row = {
             "agents_per_type": str(n_per_type),
             "n_data_msg": n_msg,

@@ -128,13 +128,7 @@ def main():
     # same three-layer precedence as the reference.
     sweep = rl_overrides.pop("SWEEP_PARAMETERS", None)
     if sweep:
-        import itertools as it
-
-        from jaxmarl_hft_tpu.config.io import make_agent_configs
-        keys = list(sweep)
-        grids = [sweep[k]["values"] if isinstance(sweep[k], dict)
-                 else sweep[k] for k in keys]
-        points = list(it.product(*grids))
+        keys, points = expand_sweep(sweep)
 
         if args.sweep_parallel > 1 and args.sweep_point is None:
             # dispatch each grid point to its own interpreter, N at a time
@@ -163,26 +157,49 @@ def main():
         for pt_idx, point in enumerate(points):
             if args.sweep_point is not None and pt_idx != args.sweep_point:
                 continue
-            overrides = dict(rl_overrides)
-            overrides.update(dict(zip(keys, point)))
-            point_cfg = ma_cfg
-            agent_over = overrides.pop("AGENT_CONFIGS", None)
-            if agent_over:
-                from jaxmarl_hft_tpu.config.io import config_to_dict
-                merged = config_to_dict(ma_cfg)
-                merged["AGENT_CONFIGS"] = agent_over
-                acs = make_agent_configs(merged)
-                point_cfg = MultiAgentConfig(
-                    world_config=ma_cfg.world_config,
-                    agents=tuple((n, acs[n]) for n, _ in ma_cfg.agents),
-                    number_of_agents_per_type=
-                    ma_cfg.number_of_agents_per_type)
-            tag = ",".join(f"{k}={v}" for k, v in zip(keys, point))
+            point_cfg, overrides, tag = apply_sweep_point(
+                ma_cfg, rl_overrides, keys, point)
             print(f"=== sweep point: {tag}")
             _run_one(args, point_cfg, overrides, tag)
         return
 
     _run_one(args, ma_cfg, rl_overrides, None)
+
+
+def expand_sweep(sweep):
+    """SWEEP_PARAMETERS {param: {values: [...]} | [...]} -> (keys, grid
+    points), the full cartesian product in declaration order (reference:
+    WandB 'grid' sweep method, ippo_rnn_JAXMARL_2player.yaml:69-96)."""
+    import itertools as it
+    keys = list(sweep)
+    grids = [sweep[k]["values"] if isinstance(sweep[k], dict)
+             else sweep[k] for k in keys]
+    return keys, list(it.product(*grids))
+
+
+def apply_sweep_point(ma_cfg, rl_overrides, keys, point):
+    """Overrides for one grid point: swept RL hyperparams layer on top of
+    the base rl_overrides; a swept AGENT_CONFIGS entry rebuilds the agent
+    configs through the same three-layer precedence as config loading
+    (dataclass defaults < env-config file < sweep override). Returns
+    (point_env_cfg, point_rl_overrides, tag)."""
+    from jaxmarl_hft_tpu.config.io import config_to_dict, make_agent_configs
+    from jaxmarl_hft_tpu.config.structs import MultiAgentConfig
+
+    overrides = dict(rl_overrides)
+    overrides.update(dict(zip(keys, point)))
+    point_cfg = ma_cfg
+    agent_over = overrides.pop("AGENT_CONFIGS", None)
+    if agent_over:
+        merged = config_to_dict(ma_cfg)
+        merged["AGENT_CONFIGS"] = agent_over
+        acs = make_agent_configs(merged)
+        point_cfg = MultiAgentConfig(
+            world_config=ma_cfg.world_config,
+            agents=tuple((n, acs[n]) for n, _ in ma_cfg.agents),
+            number_of_agents_per_type=ma_cfg.number_of_agents_per_type)
+    tag = ",".join(f"{k}={v}" for k, v in zip(keys, point))
+    return point_cfg, overrides, tag
 
 
 def _run_one(args, ma_cfg, rl_overrides, tag):
@@ -235,6 +252,11 @@ def _run_one(args, ma_cfg, rl_overrides, tag):
             "loss": [{k: float(v) for k, v in l.items()}
                      for l in metrics["loss"]],
             "avg_reward": [float(r) for r in metrics["avg_reward"]],
+            # fraction of rollout steps whose trade capture overflowed the
+            # cap (0.0 = this update is CERTIFIED bit-identical to
+            # fully-exact capture; always 0.0 for psort/sorted engines)
+            "trade_overflow_frac": float(
+                metrics["world"]["trade_overflow"]),
         }
         if "eval_avg_reward" in metrics:
             line["eval_avg_reward"] = metrics["eval_avg_reward"]

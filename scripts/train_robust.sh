@@ -58,6 +58,17 @@ while (( attempt <= MAX_RETRIES )); do
                 if (( still >= STALL_SECS )); then
                     echo "train_robust: stalled ${STALL_SECS}s, killing $pid"
                     kill "$pid" 2>/dev/null
+                    # a process wedged in a blocking device RPC (the exact
+                    # failure this script exists for) can ignore SIGTERM —
+                    # escalate to SIGKILL after a grace period so the
+                    # parent's `wait` is guaranteed to return and the retry
+                    # loop actually resumes
+                    for _ in $(seq 6); do
+                        sleep 5
+                        kill -0 "$pid" 2>/dev/null || exit 0
+                    done
+                    echo "train_robust: $pid ignored SIGTERM, SIGKILL"
+                    kill -9 "$pid" 2>/dev/null
                     exit 0
                 fi
             else

@@ -313,3 +313,12 @@ def test_trajio_roundtrip_exact(tmp_path):
     assert out["empty_list"] == [] and out["empty_dict"] == {}
     assert out["holey"][1] == {} and out["holey"][2] is None
     assert out["raw"] == b"bytes-leaf"
+
+    # keys that collide with the flat-key encoding must fail loudly at
+    # SAVE time, not corrupt the structure at load time
+    import pytest
+    for bad in ({"a/b": np.zeros(1)}, {"__len__": np.zeros(1)},
+                {"__none__": np.zeros(1)}, {"nested": {"__empty_dict__": 1}},
+                {3: np.zeros(1)}):
+        with pytest.raises(ValueError):
+            trajio.save_traj(str(tmp_path / "bad.npz"), bad)

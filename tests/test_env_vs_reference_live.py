@@ -21,15 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from reference_env import (make_reference_env, reference_available,
+from reference_env import (cached_reference_env, make_reference_env,
                            write_lobster_csvs)
 
 from jaxmarl_hft_tpu.config.structs import (ExecConfig, MMConfig,
                                             MultiAgentConfig, WorldConfig)
 from jaxmarl_hft_tpu.envs.marl import MarlEnv
-
-pytestmark = pytest.mark.skipif(not reference_available(),
-                                reason="reference mount unavailable")
 
 EPISODE_STEPS = 8
 N_DATA_MSG = 10
@@ -39,6 +36,13 @@ MM_OVR = dict(action_space="fixed_quants", observation_space="basic",
 EXEC_OVR = dict(action_space="fixed_quants_complex",
                 observation_space="engineered", task="sell", task_size=100)
 
+# construction-time reference arrays compared by the loader/reset-state
+# tests — snapshot into the oracle cache (reference_env.cached_reference_env)
+_ATTRS = ("base_env.messages", "base_env.start_indeces",
+          "base_env.end_indeces", "base_env.books",
+          "base_env.max_messages_in_episode_arr", "base_env.n_windows",
+          "base_env.init_states_array")
+
 
 @pytest.fixture(scope="module")
 def envs(tmp_path_factory):
@@ -46,12 +50,17 @@ def envs(tmp_path_factory):
     data_root = str(root / "data")
     write_lobster_csvs(data_root, seed=3)
 
-    ref_env = make_reference_env(
-        data_root, str(root / "ref_at"),
-        episode_time=EPISODE_STEPS, start_resolution=EPISODE_STEPS,
-        n_data_msg_per_step=N_DATA_MSG, window_selector=-1,
-        mm_overrides=MM_OVR, exec_overrides=EXEC_OVR,
-        key=jax.random.PRNGKey(0))
+    ref_env = cached_reference_env(
+        "live_default",
+        dict(mm=MM_OVR, ex=EXEC_OVR, eps=EPISODE_STEPS, ndm=N_DATA_MSG,
+             data=(3, 2500), window=-1),
+        lambda: make_reference_env(
+            data_root, str(root / "ref_at"),
+            episode_time=EPISODE_STEPS, start_resolution=EPISODE_STEPS,
+            n_data_msg_per_step=N_DATA_MSG, window_selector=-1,
+            mm_overrides=MM_OVR, exec_overrides=EXEC_OVR,
+            key=jax.random.PRNGKey(0)),
+        attr_paths=_ATTRS)
 
     world = WorldConfig(
         synthetic_data=False, dataPath=data_root,
@@ -208,7 +217,12 @@ def test_info_dicts_match_reference(envs):
         ref_state, ref_info = ref_out[1], ref_out[4]
         our_state, our_info = our_out[1], our_out[4]
 
-        assert set(ref_info["world"]) == set(our_info["world"])
+        # every reference key must be present; the only additions allowed
+        # are documented repo extensions (the trade-capture exactness
+        # certificate, marl.py step (D))
+        extra = set(our_info["world"]) - set(ref_info["world"])
+        assert set(ref_info["world"]) <= set(our_info["world"])
+        assert extra <= {"trade_overflow"}, extra
         for kk in sorted(ref_info["world"]):
             np.testing.assert_array_equal(
                 np.asarray(ref_info["world"][kk]),
@@ -229,11 +243,16 @@ def test_debug_mode_info_matches_reference(tmp_path):
     root = tmp_path
     data_root = str(root / "data")
     write_lobster_csvs(data_root, seed=21, n=1500)
-    ref_env = make_reference_env(
-        data_root, str(root / "ra"), episode_time=4, start_resolution=4,
-        n_data_msg_per_step=8, window_selector=0,
-        mm_overrides=MM_OVR, exec_overrides=EXEC_OVR,
-        world_overrides=dict(debug_mode=True), key=jax.random.PRNGKey(0))
+    ref_env = cached_reference_env(
+        "live_debug",
+        dict(mm=MM_OVR, ex=EXEC_OVR, eps=4, ndm=8, data=(21, 1500),
+             debug=True),
+        lambda: make_reference_env(
+            data_root, str(root / "ra"), episode_time=4, start_resolution=4,
+            n_data_msg_per_step=8, window_selector=0,
+            mm_overrides=MM_OVR, exec_overrides=EXEC_OVR,
+            world_overrides=dict(debug_mode=True),
+            key=jax.random.PRNGKey(0)))
     ours = MarlEnv(jax.random.PRNGKey(0), MultiAgentConfig(
         world_config=WorldConfig(
             synthetic_data=False, dataPath=data_root,

@@ -14,30 +14,30 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from reference_env import (make_reference_env, reference_available,
+from reference_env import (cached_reference_env, make_reference_env,
                            write_lobster_csvs)
 
 from jaxmarl_hft_tpu.config.structs import (ExecConfig, MMConfig,
                                             MultiAgentConfig, WorldConfig)
 from jaxmarl_hft_tpu.envs.marl import MarlEnv
 
-pytestmark = pytest.mark.skipif(not reference_available(),
-                                reason="reference mount unavailable")
-
 EPISODE_STEPS = 4
 N_DATA_MSG = 10
+DATA_SEED, DATA_N = 9, 2000
 
 
 @pytest.fixture(scope="module")
 def data_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("matrix_lobster")
-    write_lobster_csvs(str(root / "data"), seed=9, n=2000)
+    write_lobster_csvs(str(root / "data"), seed=DATA_SEED, n=DATA_N)
     return root
 
 
 def _build_pair(data_root, mm=None, ex=None, n_per_type=None, world=None,
                 tag=""):
-    """Build (reference env, our env) with matching configs."""
+    """Build (reference env — cached record/replay oracle, see
+    reference_env.cached_reference_env — and our live env) with matching
+    configs."""
     our_agents = []
     if mm is not None:
         our_agents.append(("MarketMaking", MMConfig(**mm)))
@@ -47,13 +47,17 @@ def _build_pair(data_root, mm=None, ex=None, n_per_type=None, world=None,
         n_per_type = (1,) * len(our_agents)
     world = dict(world or {})
 
-    ref_env = make_reference_env(
-        str(data_root / "data"), str(data_root / f"ref_at_{tag}"),
-        episode_time=EPISODE_STEPS, start_resolution=EPISODE_STEPS,
-        n_data_msg_per_step=N_DATA_MSG, window_selector=0,
-        mm_overrides=mm, exec_overrides=ex,
-        world_overrides=world, n_per_type=n_per_type,
-        key=jax.random.PRNGKey(0))
+    ref_env = cached_reference_env(
+        f"matrix_{tag}",
+        dict(mm=mm, ex=ex, world=world, n_per_type=tuple(n_per_type),
+             eps=EPISODE_STEPS, ndm=N_DATA_MSG, data=(DATA_SEED, DATA_N)),
+        lambda: make_reference_env(
+            str(data_root / "data"), str(data_root / f"ref_at_{tag}"),
+            episode_time=EPISODE_STEPS, start_resolution=EPISODE_STEPS,
+            n_data_msg_per_step=N_DATA_MSG, window_selector=0,
+            mm_overrides=mm, exec_overrides=ex,
+            world_overrides=world, n_per_type=n_per_type,
+            key=jax.random.PRNGKey(0)))
 
     wc_kwargs = dict(
         synthetic_data=False, dataPath=str(data_root / "data"),
