@@ -95,7 +95,10 @@ def rollout(env: MarlEnv, policies: List[Any], num_envs: int, num_steps: int,
         actions = []
         new_h = list(hstates)
         for i, pol in enumerate(policies):
-            obs_i = batchify(obsv[i], num_envs * n_per_type[i])
+            # f32 at the network boundary (no-op for float obs; integer
+            # message-window obs must not drive flax dtype promotion)
+            obs_i = batchify(obsv[i], num_envs * n_per_type[i]
+                             ).astype(jnp.float32)
             ac_in = (obs_i[None], dones[i][None])
             h, action, _ = pol.apply(None, hstates[i], ac_in, key=akey)
             new_h[i] = h

@@ -66,6 +66,11 @@ def default_train_config(**overrides) -> Dict[str, Any]:
         # "bfloat16" runs network matmuls on the MXU in bf16 (params, GRU
         # carry, logits, values stay f32); "float32" is reference-exact
         "NETWORK_DTYPE": "float32",
+        # split the rollout's env batch into N sequential lax.map chunks
+        # per step. Bit-identical (per-env math untouched); the exact/cap16
+        # engine measures +12% at 4096 envs with 2, psort prefers 1
+        # (scripts/probe_step_chunk_tpu.py)
+        "ENV_CHUNKS": 1,
         # per-agent-type lists
         "LR": [2.5e-4, 2.5e-4],
         "GAMMA": [0.99, 0.99],
@@ -120,7 +125,10 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
         for nact in config["NUM_ACTORS_PERTYPE"]]
 
     action_dims = [_action_dims(sp) for sp in env.action_spaces]
-    obs_dims = [sp.shape[0] for sp in env.observation_spaces]
+    # flattened per-actor obs width: message-window spaces are rank-2
+    # (n_msgs, 8) int32 and reach the network ravelled (reference net takes
+    # flat vectors, ippo_rnn_JAXMARL.py:214)
+    obs_dims = [int(np.prod(sp.shape)) for sp in env.observation_spaces]
 
     def linear_schedule(lr, count):
         frac = (1.0 - (count // (config["NUM_MINIBATCHES"]
@@ -187,7 +195,12 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
         actions, values, log_probs = [], [], []
         new_h = list(h_states)
         for i, ts in enumerate(train_states):
-            obs_i = batchify(last_obs[i], config["NUM_ACTORS_PERTYPE"][i])
+            # cast at the network boundary: integer obs (messages/tokenizer
+            # windows) must not drive flax dtype promotion; float obs are
+            # already f32 so this is a no-op for them
+            obs_i = batchify(last_obs[i],
+                             config["NUM_ACTORS_PERTYPE"][i]
+                             ).astype(jnp.float32)
             ac_in = (obs_i[jnp.newaxis, :], last_done[i][jnp.newaxis, :])
             h, pi, value = ts.apply_fn(ts.params, h_states[i], ac_in)
             new_h[i] = h
@@ -202,9 +215,27 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
 
         rng, _rng = jax.random.split(rng)
         rng_step = jax.random.split(_rng, config["NUM_ENVS"])
-        obsv, env_state, reward, done, info = jax.vmap(
-            env.step, in_axes=(0, 0, 0, None))(rng_step, env_state, actions,
-                                               env_params)
+        vstep = jax.vmap(env.step, in_axes=(0, 0, 0, None))
+        n_chunks = int(config.get("ENV_CHUNKS", 1) or 1)
+        if n_chunks > 1:
+            # sequential chunked env step (see ENV_CHUNKS in
+            # default_train_config): bit-identical outputs, better TPU
+            # pipelining for the capped exact engine
+            if config["NUM_ENVS"] % n_chunks:
+                raise ValueError(
+                    f"ENV_CHUNKS={n_chunks} must divide "
+                    f"NUM_ENVS={config['NUM_ENVS']}")
+            ne = config["NUM_ENVS"]
+            resh = lambda x: x.reshape((n_chunks, ne // n_chunks)
+                                       + x.shape[1:])
+            args_c = jax.tree.map(resh, (rng_step, env_state, actions))
+            out = jax.lax.map(
+                lambda a: vstep(a[0], a[1], a[2], env_params), args_c)
+            unchunk = lambda x: x.reshape((ne,) + x.shape[2:])
+            obsv, env_state, reward, done, info = jax.tree.map(unchunk, out)
+        else:
+            obsv, env_state, reward, done, info = vstep(
+                rng_step, env_state, actions, env_params)
 
         transitions = []
         done_agents = []
@@ -232,7 +263,8 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
                 batchify(reward[i],
                          config["NUM_ACTORS_PERTYPE"][i]).squeeze(),
                 log_probs[i].squeeze(),
-                batchify(last_obs[i], config["NUM_ACTORS_PERTYPE"][i]),
+                batchify(last_obs[i], config["NUM_ACTORS_PERTYPE"][i]
+                         ).astype(jnp.float32),
                 info_i,
             ))
         runner_state = (train_states, env_state, obsv, done_agents, new_h,
@@ -268,7 +300,8 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
         advantages, targets = [], []
         for i, ts in enumerate(train_states):
             last_obs_b = batchify(last_obs[i],
-                                  config["NUM_ACTORS_PERTYPE"][i])
+                                  config["NUM_ACTORS_PERTYPE"][i]
+                                  ).astype(jnp.float32)
             ac_in = (last_obs_b[jnp.newaxis, :],
                      last_dones[i][jnp.newaxis, :])
             _, _, last_val = ts.apply_fn(ts.params, hstates_new[i], ac_in)
@@ -293,7 +326,11 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
 
                     def _loss_fn(params, init_hstate, traj_b, gae, tgt):
                         _, pi, value = train_state.apply_fn(
-                            params, init_hstate.squeeze(),
+                            # squeeze ONLY the leading broadcast axis: a
+                            # bare .squeeze() also collapses the actor axis
+                            # when a minibatch holds a single actor,
+                            # crashing the GRU carry reset
+                            params, init_hstate.squeeze(0),
                             (traj_b.obs, traj_b.done))
                         log_prob = pi.log_prob(traj_b.action)
                         value_pred_clipped = traj_b.value + (

@@ -68,6 +68,27 @@ def test_chunked_updates_match_looped(env):
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), p1, p2)
 
 
+def test_env_chunked_rollout_matches_unchunked(env):
+    """ENV_CHUNKS splits the rollout env batch into sequential lax.map
+    chunks (a TPU pipelining lever, probe_step_chunk_tpu.py); per-env math
+    is untouched so losses and params must be bit-identical."""
+    out1 = make_train(small_config(), env)(jax.random.PRNGKey(9),
+                                           num_updates=3)
+    out2 = make_train(small_config(ENV_CHUNKS=2), env)(jax.random.PRNGKey(9),
+                                                       num_updates=3)
+    l1 = [m["loss"][i]["total_loss"] for m in out1["metrics"]
+          for i in range(2)]
+    l2 = [m["loss"][i]["total_loss"] for m in out2["metrics"]
+          for i in range(2)]
+    np.testing.assert_array_equal(l1, l2)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 out1["runner_state"][0][0].params,
+                 out2["runner_state"][0][0].params)
+    with pytest.raises(ValueError, match="ENV_CHUNKS"):
+        make_train(small_config(ENV_CHUNKS=3), env)(jax.random.PRNGKey(9),
+                                                    num_updates=1)
+
+
 def test_train_bfloat16_compute(env):
     """NETWORK_DTYPE=bfloat16 (MXU compute dtype; params/logits/values f32)
     must train with finite losses and actually move the parameters."""
