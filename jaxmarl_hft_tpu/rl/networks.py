@@ -132,7 +132,9 @@ class MultiActionOutputAutoregressive(nn.Module):
         def logits_fn(x, action_idx, prev_actions):
             if action_idx == 0:
                 return x @ w0 + b0
-            emb = [embeds[j][prev_actions[j]]
+            # jnp.take, not raw indexing: checkpoint-restored params are
+            # host numpy arrays, and np_array[traced_action] cannot trace
+            emb = [jnp.take(embeds[j], prev_actions[j], axis=0)
                    for j in range(len(prev_actions))]
             combined = jnp.concatenate([x] + emb, axis=-1)
             wh, bh, wo, bo = heads[action_idx - 1]

@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--greedy", action="store_true",
                     help="deterministic (mode) actions for learned policies "
                          "instead of sampling")
+    ap.add_argument("--autoregressive", action="store_true",
+                    help="restore checkpoints trained with the "
+                         "AUTOREGRESSIVE chain-rule multi-head policy "
+                         "(must match the training config)")
     args = ap.parse_args()
 
     from jaxmarl_hft_tpu.config.io import load_config
@@ -102,7 +106,9 @@ def main():
     for combo in itertools.product("LB", repeat=n_types):
         env = build_env_for_combo(combo, base_cfg)
         policies = []
-        net_cfg = {"FC_DIM_SIZE": args.fc_dim, "GRU_HIDDEN_DIM": args.gru_dim}
+        net_cfg = {"FC_DIM_SIZE": args.fc_dim,
+                   "GRU_HIDDEN_DIM": args.gru_dim,
+                   "AUTOREGRESSIVE": args.autoregressive}
         for i, tag in enumerate(combo):
             if tag == "L":
                 if restored is not None:
