@@ -176,11 +176,13 @@ def _measure(args, engine, trade_cap, trade_mode, timeout_s=1500,
     old = signal.signal(signal.SIGALRM, _bail)
     signal.alarm(timeout_s)
     try:
+        n_envs = getattr(args, "_n_envs_override", None) or args.envs
         env = build_env(n_data_msg=args.n_data_msg, engine=engine,
                         trade_capture_cap=trade_cap, trade_mode=trade_mode)
         sps, compile_time, runs, ovf = bench_rollout(
-            env, args.envs, args.steps, env_chunks=env_chunks)
-        print(f"# {engine} cap={trade_cap} chunks={env_chunks}: "
+            env, n_envs, args.steps, env_chunks=env_chunks)
+        print(f"# {engine} cap={trade_cap} envs={n_envs} "
+              f"chunks={env_chunks}: "
               f"runs={[round(r / 1000, 1) for r in runs]}k "
               f"overflow={ovf} compile={compile_time:.1f}s",
               file=sys.stderr)
@@ -196,7 +198,12 @@ def _measure(args, engine, trade_cap, trade_mode, timeout_s=1500,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--envs", type=int, default=4096)
+    ap.add_argument("--envs", type=int, default=8192,
+                    help="env batch for the certified/capped measurement "
+                         "(8192 with --env-chunks 4 is the measured-best "
+                         "operating point; the fully-exact psort "
+                         "measurement always runs at its own best point, "
+                         "min(envs, 4096) unchunked)")
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--n-data-msg", type=int, default=100)
     ap.add_argument("--mode", type=str, default="certified",
@@ -219,13 +226,14 @@ def main():
                     choices=["auto", "compressed", "inscan"],
                     help="exact-engine trade-buffer assembly (bit-identical "
                          "perf knob; auto = fastest for the cap)")
-    ap.add_argument("--env-chunks", type=int, default=2,
+    ap.add_argument("--env-chunks", type=int, default=4,
                     help="split the env batch into N sequential lax.map "
-                         "chunks per step (bit-identical; the exact engine "
-                         "measures +12%% at 4096 envs with 2, psort "
-                         "prefers 1 — probe_step_chunk_tpu.py). Applied to "
-                         "the certified/capped measurement; psort always "
-                         "runs unchunked")
+                         "chunks per step (bit-identical per env; the "
+                         "exact engine measures best at 8192 envs / C=4 = "
+                         "~222k, psort prefers 4096 unchunked — "
+                         "probe_step_chunk_tpu.py). Applied to the "
+                         "certified/capped measurement; psort always runs "
+                         "unchunked at min(envs, 4096)")
     args = ap.parse_args()
 
     if not _preflight():
@@ -267,7 +275,12 @@ def main():
     # window, so the two numbers are comparable (CLAUDE.md: window-to-window
     # throughput varies ±20%)
     cert = _measure(args, "exact", 16, "auto", env_chunks=args.env_chunks)
+    # psort's best operating point is 4096 envs unchunked (BASELINE.md
+    # round-4: its carry hits the VMEM cliff beyond 4096 and chunking
+    # costs it ~10%)
+    args._n_envs_override = min(args.envs, 4096)
     ps = _measure(args, "psort", 0, "auto")
+    args._n_envs_override = None
 
     cert_clean = cert is not None and not cert[2]
     if cert_clean:

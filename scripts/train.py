@@ -39,6 +39,11 @@ def main():
                          "env/PRNG state), not just eval params")
     ap.add_argument("--log-file", type=str, default=None,
                     help="JSONL metrics log")
+    ap.add_argument("--wandb", action="store_true",
+                    help="mirror per-update metrics to Weights & Biases "
+                         "(requires the wandb package; reference parity: "
+                         "io_callback logging, ippo_rnn_JAXMARL.py:1067)")
+    ap.add_argument("--wandb-project", type=str, default="jaxmarl-hft-tpu")
     ap.add_argument("--synthetic", action="store_true",
                     help="use synthetic data regardless of config")
     ap.add_argument("--mesh", type=int, default=None,
@@ -242,6 +247,13 @@ def _run_one(args, ma_cfg, rl_overrides, tag):
         ckpt_mgr = make_checkpoint_manager(ckpt_dir)
 
     log_f = open(args.log_file, "a") if args.log_file else None
+    wandb_logger = None
+    if args.wandb:
+        from jaxmarl_hft_tpu.utils.logging import MetricsLogger
+        wandb_logger = MetricsLogger(
+            None, use_wandb=True,
+            wandb_kwargs={"project": args.wandb_project,
+                          **({"group": tag} if tag else {})})
     t_start = time.time()
     first_step = [None]   # resumed runs start at the checkpoint's update
 
@@ -276,6 +288,9 @@ def _run_one(args, ma_cfg, rl_overrides, tag):
         if log_f:
             log_f.write(json.dumps(line) + "\n")
             log_f.flush()
+        if wandb_logger is not None:
+            wandb_logger.log(step, {k: v for k, v in line.items()
+                                    if k != "update"})
 
     eval_env = None
     if args.eval_every > 0:
@@ -308,6 +323,8 @@ def _run_one(args, ma_cfg, rl_overrides, tag):
                 chunk=args.chunk_updates, eval_env=eval_env,
                 eval_every=args.eval_every, eval_envs=args.eval_envs,
                 eval_steps=args.eval_steps)
+    if wandb_logger is not None:
+        wandb_logger.close()
     elapsed = time.time() - t_start
     updates_run = (args.num_updates or cfg["NUM_UPDATES"]) \
         - (first_step[0] or 0)

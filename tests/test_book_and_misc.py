@@ -105,3 +105,40 @@ def test_metrics_logger(tmp_path):
 
     tp = Throughput()
     assert tp.update(100) > 0
+
+
+def test_metrics_logger_wandb_passthrough(tmp_path, monkeypatch):
+    """use_wandb=True mirrors every payload to wandb.log with the step —
+    exercised against a stub module (the reference logs through WandB via
+    io_callback, ippo_rnn_JAXMARL.py:1067; here the mirror is host-side)."""
+    import sys
+    import types
+
+    from jaxmarl_hft_tpu.utils.logging import MetricsLogger
+
+    calls = {"init": [], "log": [], "finish": 0}
+    stub = types.ModuleType("wandb")
+    stub.init = lambda **kw: calls["init"].append(kw)
+    stub.log = lambda metrics, step=None: calls["log"].append((step,
+                                                               metrics))
+    def _fin():
+        calls["finish"] += 1
+    stub.finish = _fin
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    p = str(tmp_path / "w.jsonl")
+    lg = MetricsLogger(p, use_wandb=True,
+                       wandb_kwargs={"project": "jaxmarl-hft-tpu"})
+    lg.log(3, {"loss": jnp.asarray(0.25), "reward": [np.float32(1.0)]})
+    lg.log(4, {"loss": jnp.asarray(0.125)})
+    lg.close()
+
+    assert calls["init"] == [{"project": "jaxmarl-hft-tpu"}]
+    assert calls["finish"] == 1
+    assert [s for s, _ in calls["log"]] == [3, 4]
+    assert calls["log"][0][1]["loss"] == 0.25
+    assert calls["log"][0][1]["reward"] == [1.0]
+    # the JSONL sink still receives both rows
+    import json
+    rows = [json.loads(l) for l in open(p)]
+    assert [r["step"] for r in rows] == [3, 4]
