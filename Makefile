@@ -9,8 +9,16 @@ PY ?= python
 # workaround in tests/conftest.py is belt-and-braces, not load-bearing
 test: test-isolated
 
+# longest files first so the 2 workers stay balanced (a long tail file
+# starting last would serialise the end of the run)
+SLOW_TESTS := tests/test_agent_spaces.py tests/test_env_vs_reference_matrix.py \
+	tests/test_engine_vs_reference.py tests/test_ippo.py \
+	tests/test_env_vs_reference_live.py tests/test_multihost.py \
+	tests/test_engine_psort.py tests/test_sweep.py
+
 test-isolated:
-	ls tests/test_*.py | PYTHONPATH= JAX_PLATFORMS=cpu xargs -P 2 -n 1 \
+	{ printf '%s\n' $(SLOW_TESTS); ls tests/test_*.py | grep -vxF -e "$$(printf '%s\n' $(SLOW_TESTS))"; } \
+		| PYTHONPATH= JAX_PLATFORMS=cpu xargs -P 2 -n 1 \
 		$(PY) -m pytest -q --no-header
 
 # single-process run (relies on the conftest cache-clear fixture)
