@@ -1,9 +1,24 @@
 """Trainer-throughput probe for the round-4 operating points, one
-process/window: IPPO update steps/s for (NUM_ENVS, ENV_CHUNKS) variants
-under the certified capped engine (exact, trade_capture_cap=16), versus
-the psort fully-exact default.
+process/window: steady-state IPPO update time for (NUM_ENVS, ENV_CHUNKS)
+variants under the certified capped engine (exact, trade_capture_cap=16).
 
-Usage: timeout 5400 python scripts/probe_train_chunk_tpu.py
+METHODOLOGY (learned the hard way): time the jitted single update step in
+a Python loop AFTER one discarded warm execution. On this backend the
+FIRST execution of a freshly compiled program carries a one-time ~20s
+overhead (observed 22.3s then 0.73s steady for the same program) — any
+short timed run that includes it reads 3-4x slow. The earlier version of
+this probe timed 12-update chunk programs whose first execution absorbed
+that anomaly and mis-read a 3.6x "regression" that an isolated-step
+A/B against the round-3 tree disproved.
+
+Round-4 steady-state record (2026-08-21, one window, min of 4 warm
+updates, exact/cap16, GRU/FC 256, 4x4 PPO):
+    2048 envs C=1: 720 ms/update = 182.0k env-steps/s   (r1 record: 179.4k)
+    2048 envs C=2: 764 ms       = 171.5k
+    4096 envs C=1: 1699 ms      = 154.3k                (r1 record: 155.3k)
+    4096 envs C=4: 1481 ms      = 177.0k  (+15% from chunking)
+
+Usage: timeout 3600 python scripts/probe_train_chunk_tpu.py
 """
 import sys
 import time
@@ -12,61 +27,60 @@ sys.path.insert(0, "/root/repo")
 
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 from bench import _preflight  # noqa: E402
 
 
-def measure(engine, cap, n_envs, env_chunks, n_updates=12):
-    from jaxmarl_hft_tpu.config.io import load_config
-    from jaxmarl_hft_tpu.config.structs import MultiAgentConfig, replace_cfg
-    from jaxmarl_hft_tpu.envs.marl import MarlEnv
+def measure(env, n_envs, env_chunks):
     from jaxmarl_hft_tpu.rl.ippo import default_train_config, make_train
 
-    ma = load_config("configs/2_player_fq_fqc_synth.json")
-    ma = MultiAgentConfig(
-        world_config=replace_cfg(ma.world_config, matching_engine=engine,
-                                 trade_capture_cap=cap),
-        agents=ma.agents,
-        number_of_agents_per_type=ma.number_of_agents_per_type)
-    env = MarlEnv(jax.random.PRNGKey(0), ma)
     cfg = default_train_config(
         NUM_ENVS=n_envs, NUM_STEPS=64, TOTAL_TIMESTEPS=n_envs * 64 * 1000,
         NUM_MINIBATCHES=4, UPDATE_EPOCHS=4, FC_DIM_SIZE=256,
         GRU_HIDDEN_DIM=256, ENV_CHUNKS=env_chunks)
     train = make_train(cfg, env)
-
-    # warm with the SAME chunk length: the chunk program is cached per
-    # length on the train object, so the timed call reuses it (timing a
-    # different chunk length would time a fresh compile)
-    t0 = time.time()
-    train(jax.random.PRNGKey(0), num_updates=n_updates, chunk=n_updates)
-    compile_t = time.time() - t0
-    t0 = time.time()
-    train(jax.random.PRNGKey(1), num_updates=n_updates, chunk=n_updates)
-    dt = time.time() - t0
-    sps = n_updates * n_envs * 64 / dt
-    print(f"{engine} cap={cap} envs={n_envs} C={env_chunks}: "
-          f"{sps:,.0f} env-steps/s (update {dt/n_updates*1e3:.0f} ms, "
-          f"compile {compile_t:.0f}s)", flush=True)
-    return sps
+    rs = train.init_state(jax.random.PRNGKey(0))
+    urs = ((tuple(rs[0]), rs[1], list(rs[2]), list(rs[3]), list(rs[4]),
+            rs[5]), jnp.asarray(0, jnp.int32))
+    step = jax.jit(lambda u: train.update_step(u, None))
+    out, m = step(urs)
+    np.asarray(m["loss"][0]["total_loss"])      # compile
+    out, m = step(out)
+    np.asarray(m["loss"][0]["total_loss"])      # discard first-exec anomaly
+    dts = []
+    for _ in range(4):
+        t0 = time.time()
+        out, m = step(out)
+        np.asarray(m["loss"][0]["total_loss"])
+        dts.append(time.time() - t0)
+    dt = min(dts)
+    print(f"envs={n_envs} C={env_chunks}: {dt*1e3:.0f} ms/update = "
+          f"{n_envs*64/dt/1e3:.1f}k env-steps/s "
+          f"{['%.0f' % (d*1e3) for d in dts]}", flush=True)
 
 
 def main():
     if not _preflight(budget_s=1800):
         print("DEVICE UNAVAILABLE")
         return 1
+    from jaxmarl_hft_tpu.config.io import load_config
+    from jaxmarl_hft_tpu.config.structs import MultiAgentConfig, replace_cfg
+    from jaxmarl_hft_tpu.envs.marl import MarlEnv
+
+    ma = load_config("configs/2_player_fq_fqc_synth.json")
+    ma = MultiAgentConfig(
+        world_config=replace_cfg(ma.world_config, matching_engine="exact",
+                                 trade_capture_cap=16),
+        agents=ma.agents,
+        number_of_agents_per_type=ma.number_of_agents_per_type)
+    env = MarlEnv(jax.random.PRNGKey(0), ma)
     print(f"device={jax.devices()[0]}", flush=True)
-    for engine, cap, envs, chunks in (
-            ("exact", 16, 2048, 1),
-            ("exact", 16, 2048, 2),
-            ("exact", 16, 4096, 2),
-            ("exact", 16, 4096, 4),
-            ("psort", 0, 2048, 1),
-    ):
+    for n_envs, chunks in ((4096, 1), (4096, 4), (2048, 1), (2048, 2)):
         try:
-            measure(engine, cap, envs, chunks)
+            measure(env, n_envs, chunks)
         except Exception as e:  # noqa: BLE001
-            print(f"{engine} envs={envs} C={chunks}: FAILED {e}", flush=True)
+            print(f"envs={n_envs} C={chunks}: FAILED {e}", flush=True)
     return 0
 
 
