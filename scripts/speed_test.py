@@ -33,6 +33,9 @@ def main():
                     choices=["exact", "sorted", "psort"])
     ap.add_argument("--trade-cap", type=int, default=0,
                     help="0 = nTrades (fully exact)")
+    ap.add_argument("--env-chunks", type=int, default=1,
+                    help="sequential env-batch chunks per step "
+                         "(bit-identical; see bench.py --env-chunks)")
     ap.add_argument("--out", type=str, default="speed_test_results.csv")
     args = ap.parse_args()
 
@@ -49,7 +52,8 @@ def main():
         env = build_env(n_data_msg=n_msg, n_per_type=n_per_type,
                         engine=args.engine, trade_capture_cap=args.trade_cap,
                         trade_mode="auto")
-        sps, compile_time, runs, _ovf = bench_rollout(env, args.envs, args.steps)
+        sps, compile_time, runs, _ovf = bench_rollout(
+            env, args.envs, args.steps, env_chunks=args.env_chunks)
         row = {
             "agents_per_type": str(n_per_type),
             "n_data_msg": n_msg,
@@ -58,6 +62,8 @@ def main():
             "msgs_per_step": env.num_msgs_per_step,
             "engine": args.engine,
             "trade_cap": args.trade_cap,
+            "env_chunks": args.env_chunks,
+            "trade_overflow_fired": _ovf,
             "avg_steps_per_sec": round(sps, 1),
             "compile_s": round(compile_time, 1),
             "runs": "|".join(str(round(r, 1)) for r in runs),
