@@ -164,7 +164,7 @@ def _preflight(budget_s: int = 600) -> bool:
 
 
 def _measure(args, engine, trade_cap, trade_mode, timeout_s=1500,
-             env_chunks=1):
+             env_chunks=1, n_envs=None):
     """Build + bench one configuration under an alarm watchdog (a wedged
     compile through the tunnel must not zero the whole bench — see
     CLAUDE.md). Returns (steps/s, runs, overflowed) or None on timeout."""
@@ -176,7 +176,7 @@ def _measure(args, engine, trade_cap, trade_mode, timeout_s=1500,
     old = signal.signal(signal.SIGALRM, _bail)
     signal.alarm(timeout_s)
     try:
-        n_envs = getattr(args, "_n_envs_override", None) or args.envs
+        n_envs = n_envs or args.envs
         env = build_env(n_data_msg=args.n_data_msg, engine=engine,
                         trade_capture_cap=trade_cap, trade_mode=trade_mode)
         sps, compile_time, runs, ovf = bench_rollout(
@@ -278,9 +278,7 @@ def main():
     # psort's best operating point is 4096 envs unchunked (BASELINE.md
     # round-4: its carry hits the VMEM cliff beyond 4096 and chunking
     # costs it ~10%)
-    args._n_envs_override = min(args.envs, 4096)
-    ps = _measure(args, "psort", 0, "auto")
-    args._n_envs_override = None
+    ps = _measure(args, "psort", 0, "auto", n_envs=min(args.envs, 4096))
 
     cert_clean = cert is not None and not cert[2]
     if cert_clean:
