@@ -113,6 +113,13 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
     """Build the train function. If `mesh` is given, the env batch is sharded
     over its 'data' axis and parameters are replicated (multi-chip)."""
     config = dict(config)
+    if mesh is not None and int(config.get("ENV_CHUNKS", 1) or 1) > 1:
+        # chunking reshapes the sharded env axis to (C, N/C); the resulting
+        # resharding is neither tested nor profiled on a mesh — chunking is
+        # a single-chip pipelining lever (BASELINE.md round-4), data
+        # parallelism is the multi-chip lever
+        raise ValueError("ENV_CHUNKS > 1 is a single-chip lever; use "
+                         "ENV_CHUNKS=1 with a device mesh")
     n_types = len(env.instance_list)
     n_per_type = list(env.config.number_of_agents_per_type)
     config["NUM_ACTORS_PERTYPE"] = [n * config["NUM_ENVS"]
