@@ -205,7 +205,7 @@ class MarlEnv:
         # the runtime exactness certificate (engine._overflow_flag): True iff
         # some message filled more orders than trade_capture_cap this step,
         # i.e. iff the capped trade buffer may deviate from fully-exact
-        # capture (constant False for the psort/sorted backends)
+        # capture (cannot fire at the default cap = nTrades)
         trades_reinit = engine.init_trades(wc.nTrades)
         scan_bidask_cert = engine_sorted.get_cert_scan_fn(wc)
         ((new_asks, new_bids, new_trades), (new_bestasks, new_bestbids),

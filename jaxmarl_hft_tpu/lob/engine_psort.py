@@ -429,7 +429,12 @@ def _cancel_psort(cfg, key, own, P, A1, price, quant, msg_oid):
 
 def _apply_message_psort(cfg, state, key, msg, msg_idx=0):
     """Dispatch semantics of engine._apply_message_soa on the parity-sorted
-    carry (rows7 + P + A1 per side, passive trade planes + MIDX + cursor)."""
+    carry (rows7 + P + A1 per side, passive trade planes + MIDX + cursor).
+    Returns (new_state, fill_count) — the uncapped per-message fill count
+    feeds the runtime exactness certificate (engine._overflow_flag
+    semantics: the capped trade write deviates from fully-exact capture
+    iff fill_count > trade_capture_cap; psort mirrors the exact engine's
+    capped output for bit-parity at every cap)."""
     (asks, P_a, A1_a, bids, P_b, A1_b, trades, tbase) = state
     t = msg[MsgCol.TYPE]
     s_eff = jnp.where(t == 4, -msg[MsgCol.SIDE], msg[MsgCol.SIDE])
@@ -457,7 +462,8 @@ def _apply_message_psort(cfg, state, key, msg, msg_idx=0):
         match_price = jnp.where(idx == 0, 0, price)
 
     qtm = jnp.where(is_lim, quant, 0)
-    (opp_m, oppP_m, oppA1_m, trades_m, tbase_m, qtm_left, _k) = _match_psort(
+    (opp_m, oppP_m, oppA1_m, trades_m, tbase_m, qtm_left, k_fill) = \
+        _match_psort(
         cfg, opp, oppP, oppA1, trades, tbase, qtm, match_price,
         jnp.asarray(msg_idx, I32), s_eff=s_eff, opp_is_ask=opp_is_ask)
 
@@ -509,8 +515,9 @@ def _apply_message_psort(cfg, state, key, msg, msg_idx=0):
     new_P_b = jnp.where(active_is_bid, new_ownP, new_oppP)
     new_A1_a = jnp.where(active_is_bid, new_oppA1, new_ownA1)
     new_A1_b = jnp.where(active_is_bid, new_ownA1, new_oppA1)
-    return (new_asks, new_P_a, new_A1_a, new_bids, new_P_b, new_A1_b,
-            new_trades, new_tbase)
+    return ((new_asks, new_P_a, new_A1_a, new_bids, new_P_b, new_A1_b,
+             new_trades, new_tbase),
+            jnp.where(is_lim, k_fill, 0).astype(I32))
 
 
 def _best_bid_ask_quants_psort(cfg, state):
@@ -581,7 +588,8 @@ def scan_messages(cfg, key, msgs, book_state):
 
     def step(state, xs):
         k, m, i = xs
-        return _apply_message_psort(cfg, state, k, m, i), None
+        new, _fills = _apply_message_psort(cfg, state, k, m, i)
+        return new, None
 
     idxs = jnp.arange(msgs.shape[0], dtype=I32)
     final, _ = jax.lax.scan(step, init, (keys, msgs, idxs),
@@ -589,31 +597,39 @@ def scan_messages(cfg, key, msgs, book_state):
     return _scan_final(cfg, final, book_state[2], msgs)
 
 
-def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
+def _scan_bidask_impl(cfg, key, msgs, book_state, n_steps: int):
     keys = jax.random.split(key, msgs.shape[0])
     init = _scan_init(cfg, book_state)
 
     def step(state, xs):
         k, m, i = xs
-        new = _apply_message_psort(cfg, state, k, m, i)
+        new, fills = _apply_message_psort(cfg, state, k, m, i)
         best_ask, best_bid = _best_bid_ask_quants_psort(cfg, new)
-        return new, (best_ask, best_bid)
+        return new, (fills, best_ask, best_bid)
 
     idxs = jnp.arange(msgs.shape[0], dtype=I32)
-    final, (asks_hist, bids_hist) = jax.lax.scan(
+    final, (fills, asks_hist, bids_hist) = jax.lax.scan(
         step, init, (keys, msgs, idxs), unroll=ex._unroll(cfg))
     return (_scan_final(cfg, final, book_state[2], msgs),
-            (asks_hist[-n_steps:], bids_hist[-n_steps:]))
+            (asks_hist[-n_steps:], bids_hist[-n_steps:]), fills)
+
+
+def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
+    last, hist, _ = _scan_bidask_impl(cfg, key, msgs, book_state, n_steps)
+    return last, hist
 
 
 def scan_messages_save_bidask_cert(cfg, key, msgs, book_state, n_steps: int):
-    """save_bidask + exactness certificate. psort's trade capture is
-    cap-independent and always fully exact (the sorted-side barrel-roll
-    write has no per-message record cap), so the overflow flag is
-    identically False — the constant lowers to nothing under jit."""
-    last, hist = scan_messages_save_bidask(cfg, key, msgs, book_state,
-                                           n_steps)
-    return last, hist, jnp.asarray(False)
+    """save_bidask + exactness certificate (engine._overflow_flag
+    semantics). psort mirrors the exact engine's capped trade write for
+    bit-parity at EVERY cap, so the flag fires exactly like the exact
+    engine's: iff a message fills more than trade_capture_cap standing
+    orders. At the default cap = nTrades (all shipped psort presets) it
+    cannot fire while nOrders <= nTrades; the fill counts it reduces over
+    were already computed by the matcher."""
+    last, hist, fills = _scan_bidask_impl(cfg, key, msgs, book_state,
+                                          n_steps)
+    return last, hist, jnp.any(fills > ex._trade_cap(cfg))
 
 
 def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
@@ -624,7 +640,7 @@ def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
 
     def step(state, xs):
         k, m, i = xs
-        new = _apply_message_psort(cfg, state, k, m, i)
+        new, _fills = _apply_message_psort(cfg, state, k, m, i)
         a = ex._side_from_soa(_side_to_slots(new[0], new[1]))
         b = ex._side_from_soa(_side_to_slots(new[3], new[4]))
         return new, (a, b)
@@ -638,6 +654,6 @@ def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
 
 
 def apply_message(cfg, book_state, key, msg):
-    state = _apply_message_psort(cfg, _scan_init(cfg, book_state), key, msg,
-                                 0)
+    state, _fills = _apply_message_psort(cfg, _scan_init(cfg, book_state),
+                                         key, msg, 0)
     return _scan_final(cfg, state, book_state[2], msg[None, :])

@@ -140,7 +140,7 @@ def _match_sorted(nTrades, cap, opp, trades, qtm, price, agr_oid, time_s,
     keep = _iota(n) < n_valid_new
     neg1 = jnp.full((n,), -1, I32)
     new_opp = tuple(jnp.where(keep, pl, neg1) for pl in rolled)
-    return new_opp, qtm_left, tuple(new_trades)
+    return new_opp, qtm_left, tuple(new_trades), k
 
 
 def _evict_worst_if_full_sorted(own, own_is_bid):
@@ -237,7 +237,10 @@ def _cancel_sorted(cfg, key, own, price, quant, msg_oid):
 
 def _apply_message_sorted(cfg, state, key, msg):
     """Same dispatch semantics as engine._apply_message_soa, with sorted-side
-    kernels."""
+    kernels. Returns (new_state, fill_count); the uncapped per-message fill
+    count feeds the runtime exactness certificate (the capped trade write
+    deviates from fully-exact capture iff fill_count > trade_capture_cap —
+    engine._overflow_flag semantics)."""
     asks, bids, trades = state
     t = msg[MsgCol.TYPE]
     s_eff = jnp.where(t == 4, -msg[MsgCol.SIDE], msg[MsgCol.SIDE])
@@ -261,7 +264,7 @@ def _apply_message_sorted(cfg, state, key, msg):
         match_price = jnp.where(idx == 0, 0, price)
 
     qtm = jnp.where(is_lim, quant, 0)
-    opp_matched, qtm_left, trades_matched = _match_sorted(
+    opp_matched, qtm_left, trades_matched, k_fill = _match_sorted(
         cfg.nTrades, ex._trade_cap(cfg), opp, trades, qtm, match_price,
         msg[MsgCol.OID], msg[MsgCol.TIME_S], msg[MsgCol.TIME_NS],
         msg[MsgCol.TID], side_sign=s_eff, opp_is_ask=opp_is_ask)
@@ -299,7 +302,8 @@ def _apply_message_sorted(cfg, state, key, msg):
                      for opp_, own_ in zip(new_opp, new_own))
     new_bids = tuple(jnp.where(active_is_bid, own_, opp_)
                      for opp_, own_ in zip(new_opp, new_own))
-    return (new_asks, new_bids, new_trades)
+    return ((new_asks, new_bids, new_trades),
+            jnp.where(is_lim, k_fill, 0).astype(I32))
 
 
 def _best_bid_ask_quants_sorted(cfg, asks, bids):
@@ -332,37 +336,46 @@ def scan_messages(cfg, key, msgs, book_state):
 
     def step(state, xs):
         k, m = xs
-        return _apply_message_sorted(cfg, state, k, m), None
+        new, _fills = _apply_message_sorted(cfg, state, k, m)
+        return new, None
 
     (a, b, t), _ = jax.lax.scan(step, soa, (keys, msgs))
     return (ex._side_from_soa(a), ex._side_from_soa(b),
             ex._trades_from_soa(t))
 
 
-def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
+def _scan_bidask_impl(cfg, key, msgs, book_state, n_steps: int):
     keys = jax.random.split(key, msgs.shape[0])
     soa = _to_soa(book_state)
 
     def step(state, xs):
         k, m = xs
-        new = _apply_message_sorted(cfg, state, k, m)
+        new, fills = _apply_message_sorted(cfg, state, k, m)
         best_ask, best_bid = _best_bid_ask_quants_sorted(cfg, new[0], new[1])
-        return new, (best_ask, best_bid)
+        return new, (fills, best_ask, best_bid)
 
-    (a, b, t), (asks_hist, bids_hist) = jax.lax.scan(step, soa, (keys, msgs))
+    (a, b, t), (fills, asks_hist, bids_hist) = jax.lax.scan(step, soa,
+                                                            (keys, msgs))
     last = (ex._side_from_soa(a), ex._side_from_soa(b),
             ex._trades_from_soa(t))
-    return last, (asks_hist[-n_steps:], bids_hist[-n_steps:])
+    return last, (asks_hist[-n_steps:], bids_hist[-n_steps:]), fills
+
+
+def scan_messages_save_bidask(cfg, key, msgs, book_state, n_steps: int):
+    last, hist, _ = _scan_bidask_impl(cfg, key, msgs, book_state, n_steps)
+    return last, hist
 
 
 def scan_messages_save_bidask_cert(cfg, key, msgs, book_state, n_steps: int):
-    """save_bidask + exactness certificate. The sorted engine's in-scan
-    trade write is cap-independent (content-exact capture; only the slot
-    layout deviates from the reference), so the overflow flag is
-    identically False."""
-    last, hist = scan_messages_save_bidask(cfg, key, msgs, book_state,
-                                           n_steps)
-    return last, hist, jnp.asarray(False)
+    """save_bidask + exactness certificate (engine._overflow_flag
+    semantics): the sorted engine's trade write honors trade_capture_cap
+    exactly like the exact engine's, so the flag fires iff a message fills
+    more than ``cap`` standing orders. (Content-exactness vs the reference
+    additionally requires cap = nTrades; slot layout deviates regardless —
+    the engine's documented contract.)"""
+    last, hist, fills = _scan_bidask_impl(cfg, key, msgs, book_state,
+                                          n_steps)
+    return last, hist, jnp.any(fills > ex._trade_cap(cfg))
 
 
 def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
@@ -371,7 +384,7 @@ def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
 
     def step(state, xs):
         k, m = xs
-        new = _apply_message_sorted(cfg, state, k, m)
+        new, _fills = _apply_message_sorted(cfg, state, k, m)
         return new, (new[0], new[1])
 
     (a, b, t), (asks_h, bids_h) = jax.lax.scan(step, soa, (keys, msgs))
@@ -383,8 +396,8 @@ def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
 def apply_message(cfg, book_state, key, msg):
     """Process a single (8,) message (key used directly, as in the exact
     and psort engines' single-message paths)."""
-    a, b, t = _apply_message_sorted(cfg, _to_soa(book_state), key,
-                                    msg.astype(jnp.int32))
+    (a, b, t), _fills = _apply_message_sorted(cfg, _to_soa(book_state), key,
+                                              msg.astype(jnp.int32))
     return (ex._side_from_soa(a), ex._side_from_soa(b),
             ex._trades_from_soa(t))
 
@@ -394,8 +407,9 @@ def get_engine(cfg):
     'exact'  — reference slot layout, rank-plane matcher (bit-parity; the
                spec anchor driven directly by the engine-level oracle);
     'psort'  — compacted sorted sides carrying the reference-slot
-               permutation: bit-parity AND cap-independent exact trade
-               capture (engine_psort.py) — the production default;
+               permutation: bit-parity at every trade_capture_cap, with
+               FULL exactness at the default cap = nTrades at
+               cap-independent COST (engine_psort.py) — the preset default;
     'sorted' — compacted sorted sides, O(n)/message (lax), content-equal
                but not slot-layout-equal.
 
@@ -432,6 +446,7 @@ def get_cert_scan_fn(cfg):
     bidask scan but also returns the per-scan runtime exactness certificate
     (engine._overflow_flag) — True iff a message filled more standing orders
     than trade_capture_cap, i.e. iff the capped trade buffer may deviate
-    from fully-exact capture. Constant False for the cap-independent psort
-    and sorted backends."""
+    from fully-exact capture. All three backends compute it from their
+    per-message fill counts; it cannot fire at the default cap = nTrades
+    while nOrders <= nTrades."""
     return get_engine(cfg).scan_messages_save_bidask_cert

@@ -43,6 +43,13 @@ class MetricsLogger:
             except ImportError:
                 pass
 
+    @property
+    def wandb_active(self) -> bool:
+        """True iff wandb mirroring is actually running (the constructor
+        degrades silently when the package is missing — callers that were
+        EXPLICITLY asked to mirror should check and fail loudly)."""
+        return self._wandb is not None
+
     def log(self, step: int, metrics: Dict[str, Any]):
         payload = {"step": step, "ts": time.time(), **_to_py(metrics)}
         if self._f:

@@ -254,6 +254,11 @@ def _run_one(args, ma_cfg, rl_overrides, tag):
             None, use_wandb=True,
             wandb_kwargs={"project": args.wandb_project,
                           **({"group": tag} if tag else {})})
+        if not wandb_logger.wandb_active:
+            # the user EXPLICITLY asked for the mirror; a silent no-op
+            # would be discovered hours into the run
+            raise SystemExit("--wandb requested but the wandb package is "
+                             "not importable; install it or drop --wandb")
     t_start = time.time()
     first_step = [None]   # resumed runs start at the checkpoint's update
 

@@ -254,19 +254,26 @@ def _config_hash(key_params: dict) -> str:
 
 
 class _RecordingEnv:
-    """Delegates to the live reference env, recording every output."""
+    """Delegates to the live reference env, recording every output.
+    The cache file is rewritten at most every 8th call plus once at
+    process exit (rewriting the whole compressed npz per call made
+    recording O(calls^2) IO — code-review finding)."""
 
     def __init__(self, env, path, attr_paths=()):
+        import atexit
+
         self._env = env
         self._path = path
         self._calls = {}
         self._attrs = {}
+        self._unsaved = 0
         for p in attr_paths:
             node = env
             for part in p.split("."):
                 node = getattr(node, part)
             self._attrs[p.replace(".", "~")] = to_plain(node)
         self._save()
+        atexit.register(self._flush)
 
     @property
     def default_params(self):
@@ -280,18 +287,27 @@ class _RecordingEnv:
         os.makedirs(os.path.dirname(self._path), exist_ok=True)
         trajio.save_traj(self._path,
                          {"attrs": self._attrs, "calls": self._calls})
+        self._unsaved = 0
+
+    def _flush(self):
+        if self._unsaved:
+            self._save()
+
+    def _record(self, digest, out):
+        self._calls[digest] = to_plain(list(out))
+        self._unsaved += 1
+        if self._unsaved >= 8:
+            self._save()
 
     def reset_env(self, key, params):
         out = self._env.reset_env(key, params)
-        self._calls[_digest("reset", key, None, None)] = to_plain(list(out))
-        self._save()
+        self._record(_digest("reset", key, None, None), out)
         return out
 
     def step_env(self, key, state, actions, params):
         d = _digest("step", key, state, actions)
         out = self._env.step_env(key, state, actions, params)
-        self._calls[d] = to_plain(list(out))
-        self._save()
+        self._record(d, out)
         return out
 
 

@@ -154,24 +154,44 @@ def test_clean_certificate_implies_bit_exact_trades(mode, cap):
 
 
 @pytest.mark.parametrize("backend", ["psort", "sorted"])
-def test_cap_independent_backends_report_false(backend):
-    """psort/sorted capture is cap-independent: certificate is constant
-    False and the cert scan's state outputs equal the plain bidask scan."""
-    cfg = LobConfig(nOrders=N_ORDERS, nTrades=N_TRADES,
-                    matching_engine=backend, trade_capture_cap=2)
-    msgs = _sweep_stream()
-    key = jax.random.PRNGKey(3)
-    mod = engine_sorted.get_engine(cfg)
-    last, hist, ovf = jax.jit(mod.scan_messages_save_bidask_cert,
-                              static_argnums=(0, 4))(cfg, key, msgs,
-                                                     _book(), 4)
-    assert not bool(np.asarray(ovf))
-    last2, hist2 = jax.jit(mod.scan_messages_save_bidask,
-                           static_argnums=(0, 4))(cfg, key, msgs, _book(), 4)
-    for a, b in zip(last, last2):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    for a, b in zip(hist, hist2):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+@pytest.mark.parametrize("cap", [2, 16, 0])
+def test_backend_certificates_match_exact_engine(backend, cap):
+    """psort/sorted honor trade_capture_cap in their trade writes exactly
+    like the exact engine (bit-parity / content-parity at every cap), so
+    their certificates must fire on the same scans as the exact engine's —
+    including firing at small caps on the sweep stream. (An earlier
+    round-4 revision wrongly hard-coded these backends' flags to False —
+    a code-review finding; this test replaces the one that enshrined it.)
+    The cert scan's state outputs must equal the plain bidask scan's."""
+    msgs_set = [_sweep_stream()] + [
+        _stream(jax.random.fold_in(jax.random.PRNGKey(21), s), 120)
+        for s in range(2)]
+    fired = False
+    for si, msgs in enumerate(msgs_set):
+        key = jax.random.PRNGKey(3 + si)
+        cfg = LobConfig(nOrders=N_ORDERS, nTrades=N_TRADES,
+                        matching_engine=backend, trade_capture_cap=cap)
+        mod = engine_sorted.get_engine(cfg)
+        last, hist, ovf = jax.jit(mod.scan_messages_save_bidask_cert,
+                                  static_argnums=(0, 4))(cfg, key, msgs,
+                                                         _book(), 4)
+        exact_cfg = LobConfig(nOrders=N_ORDERS, nTrades=N_TRADES,
+                              matching_engine="exact", trade_capture_cap=cap,
+                              trade_capture_mode="compressed")
+        _, ovf_exact = _cert_scan(exact_cfg, key, msgs)
+        assert bool(np.asarray(ovf)) == ovf_exact, (backend, cap, si)
+        fired |= bool(np.asarray(ovf))
+        last2, hist2 = jax.jit(mod.scan_messages_save_bidask,
+                               static_argnums=(0, 4))(cfg, key, msgs,
+                                                      _book(), 4)
+        for a, b in zip(last, last2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(hist, hist2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    if cap == 2:
+        assert fired, backend   # the battery must exercise the firing path
+    if cap == 0:
+        assert not fired, backend   # fully exact cannot overflow
 
 
 def test_env_step_surfaces_certificate():
