@@ -325,11 +325,10 @@ def main():
         "value": round(sps, 1),
         "unit": unit,
         "vs_baseline": round(sps / target_per_chip, 3),
-        # True in both branches by construction: either the capped run's
-        # runtime certificate stayed clean (bit-identical to fully exact),
-        # or the headline fell back to psort at cap=nTrades (fully exact).
-        # The only False path prints the all-measurements-failed stanza.
-        "certified_exact": True,
+        # Derived from the branch actually taken: the capped run's runtime
+        # certificate stayed clean (bit-identical to fully exact), or the
+        # headline fell back to psort at cap=nTrades (fully exact).
+        "certified_exact": bool(cert_clean or ps is not None),
         "trade_overflow_fired": bool(cert[2]) if cert else None,
         "runs": [round(r, 1) for r in runs],
         "psort_fully_exact": round(ps[0], 1) if ps else None,

@@ -527,6 +527,13 @@ def _trade_mode(cfg):
     return m
 
 
+# Position of the per-message fill count k in compressed-mode fill_rec
+# tuples (built in _apply_message_soa, read by _overflow_flag). Kept as a
+# named module-level constant so a reorder of the record tuple cannot
+# silently point the exactness certificate at the wrong column.
+COMPRESSED_FILLCOUNT_IDX = 8
+
+
 def _apply_message_soa(cfg, state, key, msg, msg_idx=0):
     """Process one (8,) message against the SoA book state (+ rank and
     prefix-quantity planes). Equivalent to the reference's lax.switch over
@@ -588,6 +595,8 @@ def _apply_message_soa(cfg, state, key, msg, msg_idx=0):
         # (_overflow_flag); the trade buffer itself rides the carry
         fill_rec = (k,)
     else:
+        # NOTE: the per-message fill count k must sit at
+        # COMPRESSED_FILLCOUNT_IDX — _overflow_flag reads it positionally.
         fill_rec = (fills[0], (-s_eff * fills[1]).astype(I32), fills[2],
                     fills[3], last_fill[0],
                     (-s_eff * last_fill[1]).astype(I32),
@@ -830,8 +839,10 @@ def _overflow_flag(cfg, recs):
     a cap = nTrades run, so a capped rollout with a clean certificate is
     *certified* exact at the capped mode's throughput (BASELINE.md
     "trade-capture cap"). Fill counts per message are already in the scan
-    records: compressed mode carries K at index 8, inscan emits (k,)."""
-    K = recs[8] if _trade_mode(cfg) == "compressed" else recs[0]
+    records: compressed mode carries K at COMPRESSED_FILLCOUNT_IDX, inscan
+    emits (k,)."""
+    K = (recs[COMPRESSED_FILLCOUNT_IDX]
+         if _trade_mode(cfg) == "compressed" else recs[0])
     return jnp.any(K > _trade_cap(cfg))
 
 

@@ -248,6 +248,19 @@ def _digest(kind, key, state, actions):
 
 
 def _config_hash(key_params: dict) -> str:
+    """Canonical content hash: json with sort_keys recurses into nested
+    override dicts, so two semantically identical scenarios written with
+    different key insertion order map to the SAME cache file (advisor
+    finding: repr(sorted(items)) only sorted the top level)."""
+    import hashlib
+    import json
+    canon = json.dumps(key_params, sort_keys=True, default=str)
+    return hashlib.sha1(canon.encode()).hexdigest()[:10]
+
+
+def _legacy_config_hash(key_params: dict) -> str:
+    """Pre-round-5 hash (top-level sort only); kept so cache files recorded
+    under the old scheme keep replaying without a reference mount."""
     import hashlib
     return hashlib.sha1(repr(sorted(key_params.items())).encode()
                         ).hexdigest()[:10]
@@ -383,6 +396,10 @@ def cached_reference_env(tag, key_params, factory, attr_paths=()):
 
     path = os.path.join(ORACLE_CACHE_DIR,
                         f"{tag}_{_config_hash(key_params)}.npz")
+    legacy = os.path.join(ORACLE_CACHE_DIR,
+                          f"{tag}_{_legacy_config_hash(key_params)}.npz")
+    if not os.path.exists(path) and os.path.exists(legacy):
+        path = legacy
     if os.environ.get("ORACLE_LIVE") or not os.path.exists(path):
         if not reference_available():
             import pytest
