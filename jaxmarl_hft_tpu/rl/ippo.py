@@ -113,13 +113,13 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
     """Build the train function. If `mesh` is given, the env batch is sharded
     over its 'data' axis and parameters are replicated (multi-chip)."""
     config = dict(config)
-    if mesh is not None and int(config.get("ENV_CHUNKS", 1) or 1) > 1:
-        # chunking reshapes the sharded env axis to (C, N/C); the resulting
-        # resharding is neither tested nor profiled on a mesh — chunking is
-        # a single-chip pipelining lever (BASELINE.md round-4), data
-        # parallelism is the multi-chip lever
-        raise ValueError("ENV_CHUNKS > 1 is a single-chip lever; use "
-                         "ENV_CHUNKS=1 with a device mesh")
+    # ENV_CHUNKS composes with a mesh via shard-local chunking (see
+    # _env_step): each device splits its LOCAL env shard into the requested
+    # chunks, so no cross-device resharding occurs and per-env outputs stay
+    # bit-identical (test_ippo.py::test_env_chunked_sharded_matches_
+    # unsharded). On a pod each chip hosting >4096 envs wants chunking just
+    # like a single chip (BASELINE.md round-4 cliff accounting).
+    _n_shards = int(mesh.shape["data"]) if mesh is not None else 1
     n_types = len(env.instance_list)
     n_per_type = list(env.config.number_of_agents_per_type)
     config["NUM_ACTORS_PERTYPE"] = [n * config["NUM_ENVS"]
@@ -227,18 +227,33 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
         if n_chunks > 1:
             # sequential chunked env step (see ENV_CHUNKS in
             # default_train_config): bit-identical outputs, better TPU
-            # pipelining for the capped exact engine
-            if config["NUM_ENVS"] % n_chunks:
-                raise ValueError(
-                    f"ENV_CHUNKS={n_chunks} must divide "
-                    f"NUM_ENVS={config['NUM_ENVS']}")
+            # pipelining for the capped exact engine. SHARD-LOCAL on a
+            # mesh: the batch is viewed as (n_shards, C, local_chunk) so
+            # chunk c takes rows [c*B, (c+1)*B) of every device's local
+            # shard — the reshape+swap never moves an env across devices
+            # (and with n_shards=1 it folds to the plain (C, N/C) view).
             ne = config["NUM_ENVS"]
-            resh = lambda x: x.reshape((n_chunks, ne // n_chunks)
-                                       + x.shape[1:])
+            D = _n_shards
+            if ne % (n_chunks * D):
+                raise ValueError(
+                    f"ENV_CHUNKS={n_chunks} x {D} mesh shards must divide "
+                    f"NUM_ENVS={ne}")
+
+            def resh(x):
+                return x.reshape(
+                    (D, n_chunks, ne // (D * n_chunks)) + x.shape[1:]
+                ).swapaxes(0, 1).reshape(
+                    (n_chunks, ne // n_chunks) + x.shape[1:])
+
             args_c = jax.tree.map(resh, (rng_step, env_state, actions))
             out = jax.lax.map(
                 lambda a: vstep(a[0], a[1], a[2], env_params), args_c)
-            unchunk = lambda x: x.reshape((ne,) + x.shape[2:])
+
+            def unchunk(x):
+                return x.reshape(
+                    (n_chunks, D, ne // (D * n_chunks)) + x.shape[2:]
+                ).swapaxes(0, 1).reshape((ne,) + x.shape[2:])
+
             obsv, env_state, reward, done, info = jax.tree.map(unchunk, out)
         else:
             obsv, env_state, reward, done, info = vstep(
@@ -381,7 +396,14 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
                 rng, _rng = jax.random.split(rng)
                 init_hstate_r = jnp.reshape(
                     init_hstate, (1, config["NUM_ACTORS_PERTYPE"][i], -1))
-                batch = (init_hstate_r, traj_b, adv.squeeze(), tgt.squeeze())
+                # axis-preserving reshape, NOT .squeeze(): with
+                # NUM_ACTORS_PERTYPE == 1 a bare squeeze collapses (T, 1)
+                # to (T,) and the permutation take(axis=1) below errors
+                # (same hazard as the init_hstate squeeze(0) fix)
+                n_act = config["NUM_ACTORS_PERTYPE"][i]
+                batch = (init_hstate_r, traj_b,
+                         jnp.reshape(adv, (adv.shape[0], n_act)),
+                         jnp.reshape(tgt, (tgt.shape[0], n_act)))
                 permutation = jax.random.permutation(
                     _rng, config["NUM_ACTORS_PERTYPE"][i])
                 shuffled = jax.tree.map(

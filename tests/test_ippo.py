@@ -126,6 +126,37 @@ def test_train_sharded_matches_unsharded(env):
                                        rtol=2e-4, atol=2e-5)
 
 
+def test_env_chunked_sharded_matches_unsharded(env):
+    """ENV_CHUNKS composes with a device mesh (round-5, VERDICT r4 item 5):
+    chunking is shard-local — each device splits its own env shard — so a
+    chunked mesh run must match the unchunked single-device run. Per-env
+    math is untouched; losses track the unsharded reference up to the same
+    float-reduction tolerance as the plain sharded test."""
+    from jaxmarl_hft_tpu.parallel.mesh import make_mesh
+    cfg = small_config(NUM_ENVS=16)
+    out_plain = make_train(cfg, env)(jax.random.PRNGKey(11), num_updates=2)
+
+    mesh = make_mesh(8)
+    cfg_c = small_config(NUM_ENVS=16, ENV_CHUNKS=2)
+    out_mesh = make_train(cfg_c, env, mesh=mesh)(jax.random.PRNGKey(11),
+                                                 num_updates=2)
+    for mp, mm in zip(out_plain["metrics"], out_mesh["metrics"]):
+        for lp, lm in zip(mp["loss"], mm["loss"]):
+            np.testing.assert_allclose(lp["total_loss"], lm["total_loss"],
+                                       rtol=2e-4, atol=2e-5)
+    # and bit-identical to the UNCHUNKED mesh run (same device count, same
+    # reduction order — chunking must not change a single env's output)
+    out_mesh_nc = make_train(small_config(NUM_ENVS=16), env, mesh=mesh)(
+        jax.random.PRNGKey(11), num_updates=2)
+    for mm, mn in zip(out_mesh["metrics"], out_mesh_nc["metrics"]):
+        for lm, ln in zip(mm["loss"], mn["loss"]):
+            np.testing.assert_array_equal(lm["total_loss"],
+                                          ln["total_loss"])
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 out_mesh["runner_state"][0][0].params,
+                 out_mesh_nc["runner_state"][0][0].params)
+
+
 def test_baseline_rollout(env):
     policies = [RandomPolicy(env.action_spaces[0]),
                 FixedActionPolicy(0)]
