@@ -100,6 +100,15 @@ class WorldConfig(LobConfig):
     # Non-reference knob: use synthetic data instead of LOBSTER CSVs.
     synthetic_data: bool = False
     synthetic_n_msgs: int = 200_000
+    # Domain-validation debug mode (absent upstream — SURVEY §5 "sanitizers:
+    # none"): when True, each step checks the combined message stream for
+    # the documented out-of-domain corners where psort deliberately diverges
+    # from the reference on EMPTY slots (negative-quantity messages,
+    # price == -1 on an active type — engine_psort.domain_violations) and
+    # surfaces jnp.any(...) as info["world"]["domain_violation"]. Branchless
+    # like the overflow certificate; zero cost when False (static flag, the
+    # check is never traced).
+    validate_messages: bool = False
 
 
 @dataclass(frozen=True)

@@ -295,6 +295,16 @@ class MarlEnv:
             # under a finite trade_capture_cap
             "trade_overflow": trade_overflow,
         }
+        if wc.validate_messages:
+            # repo addition (SURVEY §5: the reference has no sanitizers):
+            # flags the out-of-domain message corners documented in
+            # engine_psort (negative quantity / price == -1 on an active
+            # type) arriving at the env->engine boundary — e.g. from a
+            # future agent-space bug. Branchless, carried like the overflow
+            # certificate; the static flag keeps it zero-cost when off.
+            from ..lob.engine_psort import domain_violations
+            world_info["domain_violation"] = jnp.any(
+                domain_violations(combined_msgs))
         if wc.debug_mode:
             world_info.update({
                 "trades": new_trades,
