@@ -113,3 +113,62 @@ def tokenize_observation(tok: TokenizerConfig, world_state, total_msgs,
     msgs = tokenize_messages(tok, total_msgs, world_state.best_bids,
                              world_state.best_asks, old_mid_price)
     return jnp.concatenate([book, msgs], axis=0)
+
+
+# --------------------------------------------------------------------------- #
+# Inverses (round-5): the vocabulary bands are lossless for the encoded
+# values — every 16-bit half sits in its own band, so subtracting the band
+# offset and re-assembling the halves recovers each int32 field bit-exactly
+# (including negatives, whose masked halves reassemble through a uint32
+# bitcast). tests/test_book_and_misc.py pins detokenize(tokenize(x)) == x.
+# The reference has no decoder at all (its tokenizer path cannot even run,
+# mm_env.py:143-144).
+# --------------------------------------------------------------------------- #
+
+def _join_halves(low, high):
+    u = (low.astype(jnp.uint32) & 0xFFFF) | \
+        ((high.astype(jnp.uint32) & 0xFFFF) << 16)
+    return jax.lax.bitcast_convert_type(u, jnp.int32)
+
+
+def detokenize_messages(tok: TokenizerConfig, toks):
+    """Inverse of tokenize_messages: 13 tokens/message -> the encoded
+    fields. Returns a dict with event (0-4), direction_bit (1 = bid),
+    order_id, price_ticks (= price // tick), size, delta_time_s,
+    delta_time_ns, delta_price_ticks — each bit-exact."""
+    t = toks.reshape(-1, 13).astype(jnp.uint32)
+    ed = (t[:, 0] - tok.EVENT_START).astype(jnp.int32)
+    # event-dir token = dir_bit*4 + event with event in {1..4} for active
+    # rows and 0 for no-op rows (which always carry dir_bit 0), so the
+    # in-domain alphabet is {0..8} and token 4 is unambiguously (ask,
+    # type 4)
+    out = {
+        "event": jnp.where(ed == 0, 0, (ed - 1) % 4 + 1),
+        "direction_bit": jnp.where(ed == 0, 0, (ed - 1) // 4),
+        "order_id": _join_halves(t[:, 1] - tok.ORDER_ID_B_START,
+                                 t[:, 2] - tok.ORDER_ID_B_START),
+        "price_ticks": _join_halves(t[:, 3] - tok.PRICE_B_START,
+                                    t[:, 4] - tok.PRICE_B_START),
+        "size": _join_halves(t[:, 5] - tok.SIZE_B_START,
+                             t[:, 6] - tok.SIZE_B_START),
+        "delta_time_s": _join_halves(t[:, 7] - tok.TIME_B_START,
+                                     t[:, 8] - tok.TIME_B_START),
+        "delta_time_ns": _join_halves(t[:, 9] - tok.TIME_B_START,
+                                      t[:, 10] - tok.TIME_B_START),
+        "delta_price_ticks": _join_halves(t[:, 11] - tok.PRICE_B_START,
+                                          t[:, 12] - tok.PRICE_B_START),
+    }
+    return out
+
+
+def detokenize_book(tok: TokenizerConfig, toks, n_levels: int):
+    """Inverse of tokenize_book: 2*(2 + 4*n_levels) tokens -> (time[2],
+    lob_state[4*n_levels]), bit-exact."""
+    shift = jnp.array(
+        [tok.TIME_B_START] * 4
+        + [tok.PRICE_B_START, tok.PRICE_B_START, tok.SIZE_B_START,
+           tok.SIZE_B_START] * 2 * n_levels)
+    halves = (toks.astype(jnp.uint32) - shift).astype(jnp.uint16)
+    vals = _join_halves(halves.reshape(-1, 2)[:, 0],
+                        halves.reshape(-1, 2)[:, 1])
+    return vals[:2], vals[2:]

@@ -65,6 +65,23 @@ from . import engine as ex
 I32 = jnp.int32
 
 
+def _idx_dtype(n: int):
+    """Dtype for the carried index planes (refslot rows and the inverse
+    permutation P): values live in [0, n] with -1 sentinels, so int8
+    suffices at the reference capacity (nOrders = 100). The scan is
+    carry-bandwidth-bound (BASELINE.md round-3 sensitivity: carried BYTES,
+    not ops, move it), so the index planes ride the carry at 1/4 width;
+    compute that needs wider arithmetic promotes locally and casts back."""
+    return jnp.int8 if n <= 126 else I32
+
+
+def _midx_dtype(m: int):
+    """Dtype for the carried trade writer-message-index plane: values in
+    [-2, m); int16 covers every per-step scan (<= ~220 msgs) and whole-
+    window init replays up to 32k messages."""
+    return jnp.int16 if m < 2**15 - 1 else I32
+
+
 def domain_violations(msgs):
     """Per-message mask of the out-of-domain fields where this engine's
     behaviour deliberately diverges from the reference on *empty slots*
@@ -148,8 +165,9 @@ def _side_init(slot_soa, side_is_bid):
         return jnp.where(got, v, sentinel)
 
     rows = tuple(to_rows(pl, -1) for pl in slot_soa)
-    refslot = to_rows(_iota(n), n)
-    P = jnp.where(valid, rank, n).astype(I32)
+    idt = _idx_dtype(n)
+    refslot = to_rows(_iota(n), n).astype(idt)
+    P = jnp.where(valid, rank, n).astype(idt)
     anyneg = ((slot_soa[0] == -1) | (slot_soa[1] == -1)
               | (slot_soa[2] == -1) | (slot_soa[3] == -1)
               | (slot_soa[4] == -1) | (slot_soa[5] == -1))
@@ -229,9 +247,10 @@ def _match_psort(cfg, opp, oppP, oppA1, trades, tbase, qtm, price, msg_idx,
         v = jnp.where(write_last & (t_idx == nT - 1), last, v)
         new_trades.append(v.astype(I32))
     midx = trades[4]
-    midx = jnp.where(in_range, msg_idx, midx)
-    midx = jnp.where(write_last & (t_idx == nT - 1), msg_idx, midx)
-    new_trades.append(midx.astype(I32))
+    midx_v = jnp.asarray(msg_idx, midx.dtype)
+    midx = jnp.where(in_range, midx_v, midx)
+    midx = jnp.where(write_last & (t_idx == nT - 1), midx_v, midx)
+    new_trades.append(midx)
 
     new_tbase = (base + k).astype(I32)          # uncapped: engine.
     #                                             _finalize_trades cum slots
@@ -245,10 +264,10 @@ def _match_psort(cfg, opp, oppP, oppA1, trades, tbase, qtm, price, msg_idx,
                    for pl in (p, q2, oid, tid, ts, tn, rs))
     keep = _iota(n) < nv - d
     sent = (-1, -1, -1, -1, -1, -1, n)
-    new_opp = tuple(jnp.where(keep, pl, s_).astype(I32)
+    new_opp = tuple(jnp.where(keep, pl, s_).astype(pl.dtype)
                     for pl, s_ in zip(rolled, sent))
     newP = jnp.where(oppP < d, n,
-                     jnp.where(oppP < n, oppP - d, n)).astype(I32)
+                     jnp.where(oppP < n, oppP - d, n)).astype(oppP.dtype)
     newA1 = jnp.where(oppP < d, False, oppA1)
     return (new_opp, newP, newA1, tuple(new_trades), new_tbase, qtm_left, k)
 
@@ -269,10 +288,10 @@ def _evict_worst_if_full_psort(own, P, A1):
     cnt = jnp.sum(clear_rows).astype(I32)
     e = n - cnt                               # first cleared row
     sent = (-1, -1, -1, -1, -1, -1, n)
-    new_own = tuple(jnp.where(clear_rows, s_, pl).astype(I32)
+    new_own = tuple(jnp.where(clear_rows, s_, pl).astype(pl.dtype)
                     for pl, s_ in zip(own, sent))
     cleared_slot = full & (P >= e) & (P < n)
-    newP = jnp.where(cleared_slot, n, P).astype(I32)
+    newP = jnp.where(cleared_slot, n, P).astype(P.dtype)
     newA1 = jnp.where(cleared_slot, False, A1)
     return new_own, newP, newA1
 
@@ -284,10 +303,11 @@ def _remove_row(own, P, A1, r, slot_of_r):
     ii = _iota(n)
     sent = (-1, -1, -1, -1, -1, -1, n)
     new_own = tuple(
-        jnp.where(occ & (ii >= r), _shift_left1(pl, s_), pl).astype(I32)
+        jnp.where(occ & (ii >= r), _shift_left1(pl, s_), pl).astype(pl.dtype)
         for pl, s_ in zip(own, sent))
     newP = jnp.where(occ & (P == r), n,
-                     jnp.where(occ & (P > r) & (P < n), P - 1, P)).astype(I32)
+                     jnp.where(occ & (P > r) & (P < n), P - 1, P)
+                     ).astype(P.dtype)
     newA1 = jnp.where(occ & (_iota(n) == slot_of_r), False, A1)
     return new_own, newP, newA1
 
@@ -332,8 +352,9 @@ def _add_order_psort(own, P, A1, own_is_bid, price, quant, oid_v, tid_v,
     m_after = alive & (ii > pos)
     new_vals = (price, quant, oid_v, tid_v, ts_v, tn_v, s_slot)
     new_own = tuple(
-        jnp.where(m_new, jnp.asarray(v, I32),
-                  jnp.where(m_after, _shift_right1(pl, -1), pl)).astype(I32)
+        jnp.where(m_new, jnp.asarray(v, I32).astype(pl.dtype),
+                  jnp.where(m_after, _shift_right1(pl, -1), pl)
+                  ).astype(pl.dtype)
         for pl, v in zip(own_rm, new_vals))
 
     # inverse permutation: drop the clobbered row, then open row `pos`
@@ -341,7 +362,7 @@ def _add_order_psort(own, P, A1, own_is_bid, price, quant, oid_v, tid_v,
                    jnp.where(occ_c & (P > r_c) & (P < n), P - 1, P))
     P2 = jnp.where(alive & (P1 >= pos) & (P1 < n), P1 + 1, P1)
     newP = jnp.where(ii == s_slot,
-                     jnp.where(alive, pos, n), P2).astype(I32)
+                     jnp.where(alive, pos, n), P2).astype(P.dtype)
 
     anyneg_new = ((price == -1) | (quant == -1) | (oid_v == -1)
                   | (tid_v == -1) | (ts_v == -1) | (tn_v == -1))
@@ -533,7 +554,7 @@ def _best_bid_ask_quants_psort(cfg, state):
 # Public scan API (signature-compatible with engine.py)
 # --------------------------------------------------------------------------- #
 
-def _scan_init(cfg, book_state):
+def _scan_init(cfg, book_state, n_msgs: int):
     asks, P_a, A1_a = _side_init(ex._side_to_soa(book_state[0]),
                                  side_is_bid=False)
     bids, P_b, A1_b = _side_init(ex._side_to_soa(book_state[1]),
@@ -544,7 +565,7 @@ def _scan_init(cfg, book_state):
                       cfg.nTrades - 1).astype(I32)
     # carried trade planes: passive columns + writer-message index (-1 =
     # empty, -2 = occupied before this scan — exact engine inscan scheme)
-    midx = jnp.where(tr[4] == -1, -1, -2).astype(I32)
+    midx = jnp.where(tr[4] == -1, -1, -2).astype(_midx_dtype(n_msgs))
     tcarry = (tr[0], tr[1], tr[2], tr[6], midx)
     return (asks, P_a, A1_a, bids, P_b, A1_b, tcarry, tbase)
 
@@ -584,7 +605,7 @@ def _scan_final(cfg, state, init_trades_rows, msgs):
 
 def scan_messages(cfg, key, msgs, book_state):
     keys = jax.random.split(key, msgs.shape[0])
-    init = _scan_init(cfg, book_state)
+    init = _scan_init(cfg, book_state, msgs.shape[0])
 
     def step(state, xs):
         k, m, i = xs
@@ -599,7 +620,7 @@ def scan_messages(cfg, key, msgs, book_state):
 
 def _scan_bidask_impl(cfg, key, msgs, book_state, n_steps: int):
     keys = jax.random.split(key, msgs.shape[0])
-    init = _scan_init(cfg, book_state)
+    init = _scan_init(cfg, book_state, msgs.shape[0])
 
     def step(state, xs):
         k, m, i = xs
@@ -636,7 +657,7 @@ def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
     """Debug-path variant: converts to slot layout after every message (the
     per-message (n, n) conversion is paid only in debug mode)."""
     keys = jax.random.split(key, msgs.shape[0])
-    init = _scan_init(cfg, book_state)
+    init = _scan_init(cfg, book_state, msgs.shape[0])
 
     def step(state, xs):
         k, m, i = xs
@@ -654,6 +675,6 @@ def scan_messages_save_states(cfg, key, msgs, book_state, n_steps: int):
 
 
 def apply_message(cfg, book_state, key, msg):
-    state, _fills = _apply_message_psort(cfg, _scan_init(cfg, book_state),
-                                         key, msg, 0)
+    state, _fills = _apply_message_psort(
+        cfg, _scan_init(cfg, book_state, 1), key, msg, 0)
     return _scan_final(cfg, state, book_state[2], msg[None, :])

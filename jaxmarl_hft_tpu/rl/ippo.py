@@ -420,10 +420,13 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
                     total_loss
 
             # the loss reads obs/done/action/value/log_prob only — strip the
-            # (large) info tree before the per-epoch permutation gather so
-            # ~25 (T, B) info arrays aren't shuffled through every minibatch
+            # (large) info tree AND the unused reward/global_done arrays
+            # before the per-epoch permutation gather so they aren't
+            # shuffled through every minibatch (reward feeds GAE/metrics
+            # from the unstripped traj_batch; global_done fed GAE already)
             update_state = (train_states[i], initial_hstates[i],
-                            traj_batch[i]._replace(info=None),
+                            traj_batch[i]._replace(info=None, reward=None,
+                                                   global_done=None),
                             advantages[i], targets[i],
                             jax.random.fold_in(perm_rng, i))
             update_state, loss_info = jax.lax.scan(
@@ -457,7 +460,13 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
 
     # ------------------------------------------------------------------ #
 
-    update_step_jit = jax.jit(lambda urs: _update_step(urs, None))
+    # donate the carry: the runner state (env states, hstates, params, opt
+    # state) is dead after each update, so XLA reuses its buffers in place
+    # instead of allocating a second copy — relieves HBM pressure at 4096+
+    # envs (the >4096 cliff is an XLA temp blowup, BASELINE.md round-4).
+    # Callers never reuse the donated argument (the train loop reassigns).
+    update_step_jit = jax.jit(lambda urs: _update_step(urs, None),
+                              donate_argnums=0)
 
     # Chunked update loop: lax.scan over K update steps inside ONE jitted
     # program. The reference's outer Python loop (ippo_rnn_JAXMARL.py:1099)
@@ -480,7 +489,8 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
         if n not in _chunk_jits:
             _chunk_jits[n] = jax.jit(
                 lambda urs, n=n: jax.lax.scan(_update_step, urs, None,
-                                              length=n))
+                                              length=n),
+                donate_argnums=0)
         return _chunk_jits[n]
 
     def _eval_rollout(eval_env, train_states, rng, n_envs, n_steps):

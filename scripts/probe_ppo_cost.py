@@ -24,6 +24,10 @@ from jaxmarl_hft_tpu.rl.ippo import default_train_config, make_train
 def timeit(fn, *args, n=3):
     out = fn(*args)
     jax.block_until_ready(out)
+    # discard the first post-compile execution too: it carries a one-time
+    # ~20s overhead on this backend (BASELINE.md round-4 measurement trap)
+    out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
     best = float("inf")
     for _ in range(n):
         t0 = time.time()
@@ -41,14 +45,18 @@ def main():
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--dtype", type=str, default="float32")
     ap.add_argument("--trade-cap", type=int, default=16)
+    ap.add_argument("--env-chunks", type=int, default=1)
+    ap.add_argument("--engine", type=str, default="exact")
     args = ap.parse_args()
 
-    env = build_env(n_data_msg=100, trade_capture_cap=args.trade_cap)
+    env = build_env(n_data_msg=100, engine=args.engine,
+                    trade_capture_cap=args.trade_cap)
     cfg = default_train_config(
         NUM_ENVS=args.envs, NUM_STEPS=args.steps,
         TOTAL_TIMESTEPS=args.envs * args.steps * 100,
         NUM_MINIBATCHES=4, UPDATE_EPOCHS=4, FC_DIM_SIZE=256,
-        GRU_HIDDEN_DIM=256, NETWORK_DTYPE=args.dtype)
+        GRU_HIDDEN_DIM=256, NETWORK_DTYPE=args.dtype,
+        ENV_CHUNKS=args.env_chunks)
     train = make_train(cfg, env)
     rng = jax.random.PRNGKey(0)
     runner = train.init_state(rng)

@@ -32,18 +32,20 @@ import jax.numpy as jnp  # noqa: E402
 from bench import _preflight  # noqa: E402
 
 
-def measure(env, n_envs, env_chunks):
+def measure(env, n_envs, env_chunks, donate=True, dtype="float32",
+            tag=""):
     from jaxmarl_hft_tpu.rl.ippo import default_train_config, make_train
 
     cfg = default_train_config(
         NUM_ENVS=n_envs, NUM_STEPS=64, TOTAL_TIMESTEPS=n_envs * 64 * 1000,
         NUM_MINIBATCHES=4, UPDATE_EPOCHS=4, FC_DIM_SIZE=256,
-        GRU_HIDDEN_DIM=256, ENV_CHUNKS=env_chunks)
+        GRU_HIDDEN_DIM=256, ENV_CHUNKS=env_chunks, NETWORK_DTYPE=dtype)
     train = make_train(cfg, env)
     rs = train.init_state(jax.random.PRNGKey(0))
     urs = ((tuple(rs[0]), rs[1], list(rs[2]), list(rs[3]), list(rs[4]),
             rs[5]), jnp.asarray(0, jnp.int32))
-    step = jax.jit(lambda u: train.update_step(u, None))
+    step = jax.jit(lambda u: train.update_step(u, None),
+                   donate_argnums=(0,) if donate else ())
     out, m = step(urs)
     np.asarray(m["loss"][0]["total_loss"])      # compile
     out, m = step(out)
@@ -55,7 +57,8 @@ def measure(env, n_envs, env_chunks):
         np.asarray(m["loss"][0]["total_loss"])
         dts.append(time.time() - t0)
     dt = min(dts)
-    print(f"envs={n_envs} C={env_chunks}: {dt*1e3:.0f} ms/update = "
+    print(f"envs={n_envs} C={env_chunks} donate={int(donate)} "
+          f"dtype={dtype}{tag}: {dt*1e3:.0f} ms/update = "
           f"{n_envs*64/dt/1e3:.1f}k env-steps/s "
           f"{['%.0f' % (d*1e3) for d in dts]}", flush=True)
 
@@ -76,11 +79,26 @@ def main():
         number_of_agents_per_type=ma.number_of_agents_per_type)
     env = MarlEnv(jax.random.PRNGKey(0), ma)
     print(f"device={jax.devices()[0]}", flush=True)
-    for n_envs, chunks in ((4096, 1), (4096, 4), (2048, 1), (2048, 2)):
+    grid = [
+        # round-5 sweep: chunk variants x donation x network dtype at the
+        # two training operating points (BASELINE.md round-4 table)
+        dict(n_envs=4096, env_chunks=4),
+        dict(n_envs=4096, env_chunks=2),
+        dict(n_envs=4096, env_chunks=4, donate=False),
+        dict(n_envs=4096, env_chunks=4, dtype="bfloat16"),
+        dict(n_envs=4096, env_chunks=2, dtype="bfloat16"),
+        dict(n_envs=2048, env_chunks=1),
+        dict(n_envs=2048, env_chunks=1, dtype="bfloat16"),
+        # 8192/C4 is the certified ROLLOUT best point (221.7k, official
+        # bench default) — the epoch phase amortises over 2x the batch
+        dict(n_envs=8192, env_chunks=4),
+        dict(n_envs=8192, env_chunks=4, dtype="bfloat16"),
+    ]
+    for kw in grid:
         try:
-            measure(env, n_envs, chunks)
+            measure(env, **kw)
         except Exception as e:  # noqa: BLE001
-            print(f"envs={n_envs} C={chunks}: FAILED {e}", flush=True)
+            print(f"{kw}: FAILED {e}", flush=True)
     return 0
 
 

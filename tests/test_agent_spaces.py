@@ -260,3 +260,76 @@ def test_tokenizer_event_tokens_stay_in_band():
     ev = toks[:, 0]
     assert ev[0] == 1 and ev[1] == 5 and ev[2] == 0   # ask=1, bid=5, pad=0
     assert (ev < tok.ORDER_ID_B_START).all()
+
+
+def test_tokenizer_roundtrip_bit_exact():
+    """Round-5 decodability pin (VERDICT r4 item 8): every field a token
+    stream encodes is recoverable bit-exactly — detokenize(tokenize(x)) ==
+    x for the message fields (incl. negative order ids / delta prices
+    through the masked-halves uint32 reassembly) and for the book tokens
+    (time + L2 state). The reference ships no decoder (its tokenizer path
+    cannot run at all, mm_env.py:143-144)."""
+    from jaxmarl_hft_tpu.envs.tokenizer import (
+        TokenizerConfig, detokenize_book, detokenize_messages,
+        tokenize_book, tokenize_messages)
+    tok = TokenizerConfig()
+    rng = np.random.default_rng(5)
+
+    n = 64
+    msgs = np.zeros((n, 8), np.int64)
+    msgs[:, 0] = rng.integers(1, 5, n)                     # type 1-4
+    msgs[:, 1] = rng.choice([-1, 1], n)                    # side
+    msgs[:, 2] = rng.integers(0, 500, n)                   # quant
+    msgs[:, 3] = rng.integers(-1, 4_000_000, n) * 100      # price (some <0)
+    msgs[:, 4] = rng.integers(-(2**30), 2**30, n)          # order id +/-
+    msgs[:, 5] = rng.integers(-200, 200, n)                # trader id
+    msgs[:, 6] = np.sort(rng.integers(34200, 57600, n))    # time s (sorted)
+    msgs[:, 7] = rng.integers(0, 1_000_000_000, n)         # time ns
+    msgs[rng.integers(0, n, 5)] = 0                        # noop pads
+    msgs = jnp.asarray(msgs, jnp.int32)
+    bb = jnp.asarray(rng.integers(0, 4_000_000, (n, 2)) * 100, jnp.int32)
+    ba = jnp.asarray(np.asarray(bb) + 100, jnp.int32)
+
+    toks = tokenize_messages(tok, msgs, bb, ba, 2000_00)
+    dec = detokenize_messages(tok, toks)
+    m = np.asarray(msgs)
+    noop = m[:, 0] == 0
+    np.testing.assert_array_equal(np.asarray(dec["event"]), m[:, 0])
+    np.testing.assert_array_equal(np.asarray(dec["direction_bit"]),
+                                  np.where(noop, 0, m[:, 1] == 1))
+    np.testing.assert_array_equal(np.asarray(dec["order_id"]), m[:, 4])
+    np.testing.assert_array_equal(np.asarray(dec["price_ticks"]),
+                                  m[:, 3] // 100)
+    np.testing.assert_array_equal(np.asarray(dec["size"]), m[:, 2])
+    # delta encodings reassemble to the values tokenize computed
+    ds = m[1:, 6] - m[:-1, 6]
+    dns = m[1:, 7] - m[:-1, 7]
+    ds = ds - (dns < 0)
+    dns = np.where(dns < 0, dns + 1_000_000_000, dns)
+    np.testing.assert_array_equal(np.asarray(dec["delta_time_s"])[1:], ds)
+    np.testing.assert_array_equal(np.asarray(dec["delta_time_ns"])[1:], dns)
+    bbv = np.asarray(bb)[:, 0] // 100
+    bav = np.asarray(ba)[:, 0] // 100
+    exp_dp = (bav[1:] - bav[:-1]) + (bbv[1:] - bbv[:-1])
+    np.testing.assert_array_equal(
+        np.asarray(dec["delta_price_ticks"])[1:], exp_dp)
+
+    # book tokens: time + 40 L2 fields, bit-exact both ways
+    l2 = jnp.asarray(rng.integers(-1, 4_000_000, (40,)), jnp.int32)
+    time = jnp.asarray([45123, 987654321], jnp.int32)
+    btoks = tokenize_book(tok, l2, time)
+    t2, l2_dec = detokenize_book(tok, btoks, n_levels=10)
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(time))
+    np.testing.assert_array_equal(np.asarray(l2_dec), np.asarray(l2))
+
+    # band disjointness: every token lands inside its field's band
+    tk = np.asarray(toks).reshape(-1, 13)
+    assert (tk[:, 0] < tok.ORDER_ID_B_START).all()
+    for cols, lo, hi in [((1, 2), tok.ORDER_ID_B_START, tok.PRICE_B_START),
+                         ((3, 4, 11, 12), tok.PRICE_B_START,
+                          tok.SIZE_B_START),
+                         ((5, 6), tok.SIZE_B_START, tok.TIME_B_START),
+                         ((7, 8, 9, 10), tok.TIME_B_START,
+                          tok.TOTAL_NUM_TOKENS)]:
+        for c in cols:
+            assert (tk[:, c] >= lo).all() and (tk[:, c] < hi).all(), c
