@@ -493,26 +493,43 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
                 donate_argnums=0)
         return _chunk_jits[n]
 
+    _eval_jits: Dict[Any, Any] = {}
+
     def _eval_rollout(eval_env, train_states, rng, n_envs, n_steps):
         """Policy rollout on the eval env; returns per-type mean rewards
         (reference: the CALC_EVAL on-device eval scan,
         ippo_rnn_JAXMARL.py:876-975, here run between updates). Set
         EVAL_DETERMINISTIC: true in the RL config for greedy (mode) actions
-        instead of sampling — an addition over the reference."""
+        instead of sampling — an addition over the reference.
+
+        The jitted rollout is cached with the network params as ARGUMENTS:
+        rebuilding policies per call would bake each update's params into
+        the jaxpr as constants and recompile every periodic eval (45-600 s
+        each through the TPU tunnel)."""
         from .baselines import LearnedPolicy, rollout
         from .networks import ActorCriticRNN
         deterministic = bool(config.get("EVAL_DETERMINISTIC", False))
-        policies = []
-        for i, ts in enumerate(train_states):
-            net = ActorCriticRNN(_action_dims(eval_env.action_spaces[i]),
-                                 config=config)
-            policies.append(LearnedPolicy(net, ts.params,
-                                          deterministic=deterministic))
-        rewards, dones, infos, _ = rollout(
-            eval_env, policies, n_envs, n_steps,
-            seed=int(jax.random.randint(rng, (), 0, 2**20)),
-            gru_dim=config["GRU_HIDDEN_DIM"])
-        return {"eval_avg_reward": [float(jnp.mean(r)) for r in rewards]}
+        ck = (id(eval_env), n_envs, n_steps, deterministic)
+        if ck not in _eval_jits:
+            nets = [ActorCriticRNN(_action_dims(eval_env.action_spaces[i]),
+                                   config=config)
+                    for i in range(len(eval_env.instance_list))]
+
+            def _run(params_list, seed):
+                policies = [
+                    LearnedPolicy(nets[i], params_list[i],
+                                  deterministic=deterministic)
+                    for i in range(len(nets))]
+                rewards, _dones, _infos, _acts = rollout(
+                    eval_env, policies, n_envs, n_steps, seed=seed,
+                    gru_dim=config["GRU_HIDDEN_DIM"])
+                return [jnp.mean(r) for r in rewards]
+
+            _eval_jits[ck] = jax.jit(_run)
+        means = _eval_jits[ck](
+            [ts.params for ts in train_states],
+            jax.random.randint(rng, (), 0, 2**20))
+        return {"eval_avg_reward": [float(m) for m in means]}
 
     def train(rng, *, num_updates=None, log_fn=None, checkpoint_manager=None,
               eval_env=None, eval_every: int = 10, eval_envs: int = 8,

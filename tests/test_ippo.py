@@ -247,3 +247,19 @@ def test_baseline_rollout_single_env(env):
     rewards, dones, infos, _ = rollout(env, policies, num_envs=1, num_steps=4,
                                     seed=0)
     assert all(np.asarray(r).shape[:2] == (4, 1) for r in rewards)
+
+
+def test_periodic_eval_rollout(env):
+    """Periodic held-out eval (reference CALC_EVAL): eval_avg_reward is
+    logged at the requested cadence, and the cached jitted eval threads the
+    CURRENT params as arguments (round-5 fix: rebuilding policies per call
+    baked params in as constants and recompiled every eval)."""
+    train = make_train(small_config(), env)
+    out = train(jax.random.PRNGKey(2), num_updates=4, eval_env=env,
+                eval_every=2, eval_envs=2, eval_steps=4)
+    have = [i for i, m in enumerate(out["metrics"])
+            if "eval_avg_reward" in m]
+    assert have == [1, 3]
+    for i in have:
+        vals = out["metrics"][i]["eval_avg_reward"]
+        assert len(vals) == 2 and all(np.isfinite(v) for v in vals)
