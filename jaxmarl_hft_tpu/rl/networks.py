@@ -27,74 +27,30 @@ def _compute_dtype(config: Dict):
     return None if name in (None, "float32", "f32") else jnp.dtype(name)
 
 
-class _FastGRUCell(nn.Module):
-    """GRU cell split for time-batched input projections: `project` applies
-    the three input Denses (ir/iz/in) — time-independent, so the caller
-    hoists them OUT of the sequential scan as one batched (T*B, F) x (F, H)
-    matmul each — and `__call__` runs only the recurrent half per step.
-    Parameter names, shapes, initializers, and dtype promotion replicate
-    flax.linen.GRUCell exactly (ir/iz/in biased lecun-normal Denses;
-    hr/hz unbiased + hn biased orthogonal Denses), so the parameter tree is
-    path-identical to the nn.scan(nn.GRUCell) formulation and checkpoints
-    are interchangeable (flax derives param init RNG from the path)."""
-    features: int
-    dtype: Optional[jnp.dtype] = None
-
-    def setup(self):
-        dense_i = functools.partial(nn.Dense, features=self.features,
-                                    use_bias=True, dtype=self.dtype)
-        dense_h = functools.partial(
-            nn.Dense, features=self.features, use_bias=False,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.orthogonal())
-        self.ir = dense_i(name="ir")
-        self.iz = dense_i(name="iz")
-        self.in_ = dense_i(name="in")
-        self.hr = dense_h(name="hr")
-        self.hz = dense_h(name="hz")
-        self.hn = dense_h(name="hn", use_bias=True)
-
-    def project(self, ins):
-        return self.ir(ins), self.iz(ins), self.in_(ins)
-
-    def __call__(self, h, x):
-        xr, xz, xn, reset = x
-        h = jnp.where(reset[:, jnp.newaxis], jnp.zeros_like(h), h)
-        r = nn.sigmoid(xr + self.hr(h))
-        z = nn.sigmoid(xz + self.hz(h))
-        n = nn.tanh(xn + r * self.hn(h))
-        new_h = (1.0 - z) * n + z * h
-        return new_h.astype(jnp.float32), new_h
-
-
 class ScannedRNN(nn.Module):
     """GRU scanned over time with hidden reset on done flags
     (reference :53-78). The carry is stored float32; `dtype` only sets the
-    GRU's matmul compute dtype.
-
-    TPU restructuring (round 5): the input projections x@W_{ir,iz,in} are
-    time-independent, so they run as three batched matmuls over the whole
-    (T, B, F) sequence BEFORE the sequential scan — the scan body keeps
-    only the recurrent h-projections. Halves the matmuls trapped in the
-    T-sequential loop; per-element math (and the parameter tree) is
-    unchanged vs nn.scan(nn.GRUCell), pinned bit-exact by
-    tests/test_ippo.py::test_fast_gru_matches_flax_gru."""
+    GRUCell's matmul compute dtype."""
     dtype: Optional[jnp.dtype] = None
 
+    @functools.partial(
+        nn.scan,
+        variable_broadcast="params",
+        in_axes=0,
+        out_axes=0,
+        split_rngs={"params": False},
+    )
     @nn.compact
     def __call__(self, carry, x):
-        ins, resets = x                       # (T, B, F), (T, B)
-        cell = _FastGRUCell(features=ins.shape[-1], dtype=self.dtype,
-                            name="GRUCell_0")
-        xr, xz, xn = cell.project(ins)        # hoisted batched matmuls
-
-        def body(cell, h, xs):
-            return cell(h, xs)
-
-        scan = nn.scan(body, variable_broadcast="params",
-                       split_rngs={"params": False}, in_axes=0, out_axes=0)
-        new_h, ys = scan(cell, carry, (xr, xz, xn, resets))
-        return new_h, ys
+        rnn_state = carry
+        ins, resets = x
+        rnn_state = jnp.where(
+            resets[:, jnp.newaxis],
+            self.initialize_carry(*rnn_state.shape),
+            rnn_state)
+        new_rnn_state, y = nn.GRUCell(features=ins.shape[1],
+                                      dtype=self.dtype)(rnn_state, ins)
+        return new_rnn_state.astype(jnp.float32), y
 
     @staticmethod
     def initialize_carry(batch_size, hidden_size):

@@ -263,51 +263,3 @@ def test_periodic_eval_rollout(env):
     for i in have:
         vals = out["metrics"][i]["eval_avg_reward"]
         assert len(vals) == 2 and all(np.isfinite(v) for v in vals)
-
-
-def test_fast_gru_matches_flax_gru():
-    """Round-5 GRU restructuring: hoisting the input projections out of the
-    time scan must leave the parameter tree path-identical to
-    nn.scan(nn.GRUCell) (same init values — flax derives param RNG from the
-    path) and the outputs bit-identical, in f32 and bf16, with done-flag
-    carry resets exercised."""
-    import functools
-    import flax.linen as nn
-    from jaxmarl_hft_tpu.rl.networks import ScannedRNN
-
-    class RefScannedRNN(nn.Module):
-        """The pre-round-5 formulation (reference ippo :53-78)."""
-        dtype: object = None
-
-        @functools.partial(nn.scan, variable_broadcast="params",
-                           in_axes=0, out_axes=0,
-                           split_rngs={"params": False})
-        @nn.compact
-        def __call__(self, carry, x):
-            ins, resets = x
-            carry = jnp.where(resets[:, None], jnp.zeros_like(carry), carry)
-            new_h, y = nn.GRUCell(features=ins.shape[1],
-                                  dtype=self.dtype)(carry, ins)
-            return new_h.astype(jnp.float32), y
-
-    T, B, H = 7, 5, 16
-    k = jax.random.PRNGKey(0)
-    ins = jax.random.normal(jax.random.fold_in(k, 1), (T, B, H))
-    resets = jax.random.bernoulli(jax.random.fold_in(k, 2), 0.3, (T, B))
-    h0 = jnp.zeros((B, H))
-
-    for dtype in (None, jnp.bfloat16):
-        ref = RefScannedRNN(dtype=dtype)
-        new = ScannedRNN(dtype=dtype)
-        pref = ref.init(k, h0, (ins, resets))
-        pnew = new.init(k, h0, (ins, resets))
-        # identical parameter paths and values
-        assert (jax.tree_util.tree_structure(pref)
-                == jax.tree_util.tree_structure(pnew))
-        jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
-                     pref, pnew)
-        hr, yr = ref.apply(pref, h0, (ins, resets))
-        hn, yn = new.apply(pref, h0, (ins, resets))
-        np.testing.assert_array_equal(np.asarray(hr), np.asarray(hn))
-        np.testing.assert_array_equal(np.asarray(yr, np.float32),
-                                      np.asarray(yn, np.float32))
