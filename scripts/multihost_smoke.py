@@ -72,7 +72,7 @@ def run_rank(args):
         NUM_ENVS=args.num_envs, NUM_STEPS=8,
         TOTAL_TIMESTEPS=args.num_envs * 8 * args.updates,
         NUM_MINIBATCHES=2, UPDATE_EPOCHS=2, FC_DIM_SIZE=32,
-        GRU_HIDDEN_DIM=32)
+        GRU_HIDDEN_DIM=32, ENV_CHUNKS=args.env_chunks)
     train = make_train(tc, env, mesh=make_mesh())
     out = train(jax.random.PRNGKey(0), num_updates=args.updates)
     losses = [[float(l["total_loss"]) for l in m["loss"]]
@@ -94,7 +94,8 @@ def run_driver(args):
                "--port", str(args.port),
                "--devices-per-proc", str(args.devices_per_proc),
                "--num-envs", str(args.num_envs),
-               "--updates", str(args.updates)]
+               "--updates", str(args.updates),
+               "--env-chunks", str(args.env_chunks)]
         procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT, text=True))
     results = {}
@@ -131,6 +132,7 @@ def main():
     ap.add_argument("--devices-per-proc", type=int, default=4)
     ap.add_argument("--num-envs", type=int, default=16)
     ap.add_argument("--updates", type=int, default=2)
+    ap.add_argument("--env-chunks", type=int, default=1)
     ap.add_argument("--timeout", type=int, default=900)
     args = ap.parse_args()
     if args.rank is None:

@@ -19,13 +19,14 @@ SCRIPT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "scripts", "multihost_smoke.py")
 
 
-def _run(nprocs, devices_per_proc):
+def _run(nprocs, devices_per_proc, env_chunks=1):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     out = subprocess.run(
         [sys.executable, SCRIPT, "--nprocs", str(nprocs),
          "--devices-per-proc", str(devices_per_proc),
-         "--num-envs", "16", "--updates", "2"],
+         "--num-envs", "16", "--updates", "2",
+         "--env-chunks", str(env_chunks)],
         capture_output=True, text=True, timeout=900, env=env)
     assert out.returncode == 0, out.stdout + out.stderr
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -47,4 +48,15 @@ def test_pod_shape_2x8_matches_1x16():
     single-process 16-device mesh."""
     multi = _run(2, 8)
     single = _run(1, 16)
+    assert multi["losses"] == single["losses"], (multi, single)
+
+
+def test_two_process_chunked_matches_unchunked():
+    """Round-5 shard-local ENV_CHUNKS composes across the PROCESS boundary
+    too: a 2-process mesh run with per-shard env chunking is bit-identical
+    to the unchunked single-process mesh run (chunking never moves an env
+    across devices, so the cross-process collectives see identical
+    values)."""
+    multi = _run(2, 4, env_chunks=2)
+    single = _run(1, 8)
     assert multi["losses"] == single["losses"], (multi, single)
