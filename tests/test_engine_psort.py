@@ -297,3 +297,18 @@ def test_domain_violation_guard():
     assert np.asarray(engine_psort.domain_violations(bad)).all()
     with pytest.raises(ValueError, match="domain violation"):
         engine_psort.assert_in_domain(bad)
+
+
+def test_wide_book_int32_carry_fallback():
+    """nOrders > 126 exceeds int8 range for the carried index planes
+    (round-5 narrowing): _idx_dtype must fall back to int32 and stay
+    bit-parity with the exact engine on a busy stream."""
+    from jaxmarl_hft_tpu.lob.engine_psort import _idx_dtype
+    import jax.numpy as jnp
+    assert _idx_dtype(100) == jnp.int8
+    assert _idx_dtype(127) == jnp.int32
+    cfg = LobConfig(nOrders=150, nTrades=40)
+    for seed in (0, 1):
+        msgs = _rand_stream(jax.random.PRNGKey(seed + 900), 150)
+        e, p = _run_both(cfg, msgs, seed)
+        _assert_bitequal(e, p, f"(wide book seed={seed})")
