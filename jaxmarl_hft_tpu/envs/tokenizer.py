@@ -91,6 +91,15 @@ def tokenize_messages(tok: TokenizerConfig, total_msgs, best_bids, best_asks,
     return toks.reshape(-1)
 
 
+def _book_shift(tok: TokenizerConfig, n_levels: int):
+    """Band-offset vector for the (time + L2) book token layout; shared by
+    tokenize_book and detokenize_book so the layout lives in ONE place."""
+    return jnp.array(
+        [tok.TIME_B_START] * 4
+        + [tok.PRICE_B_START, tok.PRICE_B_START, tok.SIZE_B_START,
+           tok.SIZE_B_START] * 2 * n_levels)
+
+
 def tokenize_book(tok: TokenizerConfig, lob_state_before, time):
     """Pre-step L2 book tokens: 84 = (2 time + 40 L2 fields) x 2 halves
     (reference :2928-2948)."""
@@ -99,11 +108,7 @@ def tokenize_book(tok: TokenizerConfig, lob_state_before, time):
          lob_state_before]).astype(jnp.int32)
     halves = jax.lax.bitcast_convert_type(with_time, jnp.uint16).reshape(-1)
     n_levels = lob_state_before.shape[0] // 4
-    shift = jnp.array(
-        [tok.TIME_B_START] * 4
-        + [tok.PRICE_B_START, tok.PRICE_B_START, tok.SIZE_B_START,
-           tok.SIZE_B_START] * 2 * n_levels)
-    return halves.astype(jnp.uint32) + shift
+    return halves.astype(jnp.uint32) + _book_shift(tok, n_levels)
 
 
 def tokenize_observation(tok: TokenizerConfig, world_state, total_msgs,
@@ -120,7 +125,8 @@ def tokenize_observation(tok: TokenizerConfig, world_state, total_msgs,
 # values — every 16-bit half sits in its own band, so subtracting the band
 # offset and re-assembling the halves recovers each int32 field bit-exactly
 # (including negatives, whose masked halves reassemble through a uint32
-# bitcast). tests/test_book_and_misc.py pins detokenize(tokenize(x)) == x.
+# bitcast). tests/test_agent_spaces.py::test_tokenizer_roundtrip_bit_exact
+# pins detokenize(tokenize(x)) == x.
 # The reference has no decoder at all (its tokenizer path cannot even run,
 # mm_env.py:143-144).
 # --------------------------------------------------------------------------- #
@@ -164,11 +170,8 @@ def detokenize_messages(tok: TokenizerConfig, toks):
 def detokenize_book(tok: TokenizerConfig, toks, n_levels: int):
     """Inverse of tokenize_book: 2*(2 + 4*n_levels) tokens -> (time[2],
     lob_state[4*n_levels]), bit-exact."""
-    shift = jnp.array(
-        [tok.TIME_B_START] * 4
-        + [tok.PRICE_B_START, tok.PRICE_B_START, tok.SIZE_B_START,
-           tok.SIZE_B_START] * 2 * n_levels)
-    halves = (toks.astype(jnp.uint32) - shift).astype(jnp.uint16)
+    halves = (toks.astype(jnp.uint32)
+              - _book_shift(tok, n_levels)).astype(jnp.uint16)
     vals = _join_halves(halves.reshape(-1, 2)[:, 0],
                         halves.reshape(-1, 2)[:, 1])
     return vals[:2], vals[2:]

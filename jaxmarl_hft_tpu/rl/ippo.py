@@ -218,7 +218,15 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
             action = pi.sample(seed=jax.random.fold_in(_rng, i))
             log_probs.append(pi.log_prob(action))
             action = unbatchify(action, config["NUM_ENVS"], n_per_type[i])
-            actions.append(action.squeeze())
+            # squeeze the agent/head axes only when singleton — a bare
+            # .squeeze() also collapses the env axis when NUM_ENVS == 1
+            # and crashes the vmapped env.step (same guard as
+            # baselines.rollout)
+            if action.shape[-1] == 1:
+                action = action.squeeze(-1)
+            if n_per_type[i] == 1 and action.ndim > 1:
+                action = action.squeeze(1)
+            actions.append(action)
 
         rng, _rng = jax.random.split(rng)
         rng_step = jax.random.split(_rng, config["NUM_ENVS"])
@@ -261,9 +269,15 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
 
         transitions = []
         done_agents = []
+
+        def _actor_vec(x, i):
+            """(..., A, 1)-shaped per-actor arrays -> (A,); axis-preserving
+            (a bare .squeeze() collapses A == 1 when NUM_ENVS == 1)."""
+            return jnp.reshape(x, (config["NUM_ACTORS_PERTYPE"][i],))
+
         for i, ts in enumerate(train_states):
-            done_i = batchify(done["agents"][i],
-                              config["NUM_ACTORS_PERTYPE"][i]).squeeze()
+            done_i = _actor_vec(batchify(done["agents"][i],
+                                         config["NUM_ACTORS_PERTYPE"][i]), i)
             done_agents.append(done_i)
             info_i = {
                 "world": info["world"],
@@ -279,12 +293,14 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
                 # reference has the same tile bug, ippo_rnn_JAXMARL.py:649)
                 jnp.repeat(done["__all__"], n_per_type[i]),
                 last_done[i],
-                batchify(actions[i],
-                         config["NUM_ACTORS_PERTYPE"][i]).squeeze(),
-                values[i].squeeze(),
-                batchify(reward[i],
-                         config["NUM_ACTORS_PERTYPE"][i]).squeeze(),
-                log_probs[i].squeeze(),
+                # Discrete actions flatten to (A,); MultiDiscrete keep
+                # their (A, K) head axis
+                (lambda a: a.squeeze(-1) if a.shape[-1] == 1 else a)(
+                    batchify(actions[i], config["NUM_ACTORS_PERTYPE"][i])),
+                _actor_vec(values[i], i),
+                _actor_vec(batchify(reward[i],
+                                    config["NUM_ACTORS_PERTYPE"][i]), i),
+                _actor_vec(log_probs[i], i),
                 batchify(last_obs[i], config["NUM_ACTORS_PERTYPE"][i]
                          ).astype(jnp.float32),
                 info_i,
@@ -329,7 +345,7 @@ def make_train(config: Dict[str, Any], env: MarlEnv, mesh=None):
             _, _, last_val = ts.apply_fn(ts.params, hstates_new[i], ac_in)
             adv_i, tgt_i = _calculate_gae(
                 config["GAMMA"][i], config["GAE_LAMBDA"][i], traj_batch[i],
-                last_val.squeeze())
+                last_val.squeeze(0))
             advantages.append(adv_i)
             targets.append(tgt_i)
 

@@ -263,3 +263,15 @@ def test_periodic_eval_rollout(env):
     for i in have:
         vals = out["metrics"][i]["eval_avg_reward"]
         assert len(vals) == 2 and all(np.isfinite(v) for v in vals)
+
+
+def test_train_single_env(env):
+    """NUM_ENVS=1 (review finding, round 5): the per-type action squeeze
+    used to collapse the env axis and crash the vmapped env.step; the
+    actor-axis reshapes must keep every (A=1,) axis alive end to end."""
+    cfg = small_config(NUM_ENVS=1, NUM_MINIBATCHES=1, NUM_STEPS=8,
+                       TOTAL_TIMESTEPS=8 * 2)
+    out = make_train(cfg, env)(jax.random.PRNGKey(4), num_updates=2)
+    for m in out["metrics"]:
+        for loss in m["loss"]:
+            assert np.isfinite(loss["total_loss"])
