@@ -78,6 +78,20 @@ def _remove_zero_neg_quant(side: jax.Array) -> jax.Array:
                      jnp.full_like(side, -1), side)
 
 
+def _cumsum_i32(x):
+    """Inclusive integer cumsum as a log-step Hillis-Steele doubling chain.
+    jnp.cumsum lowers to an O(n*window) reduce_window on this TPU backend —
+    the round-5 profiler trace showed it as the psort scan's single largest
+    op (23 us/message at n=100; swapping it bought psort +9.6%). Integer
+    addition is associative, so the reassociation is bit-exact."""
+    n = x.shape[0]
+    s = 1
+    while s < n:
+        x = x + jnp.concatenate([jnp.zeros((s,), x.dtype), x[:-s]])
+        s <<= 1
+    return x
+
+
 def _first_true(mask: jax.Array) -> jax.Array:
     """First index where mask is True; -1 if none (jnp.where(size=1) parity)."""
     idx = jnp.argmax(mask)
@@ -234,7 +248,7 @@ def _finalize_trades(cfg, init_trades, recs):
 
     first_empty = _first_true(init_trades[4] == -1)
     base0 = jnp.where(first_empty >= 0, first_empty, nT - 1)
-    cum = base0 + jnp.cumsum(K) - K                       # (M,) start slots
+    cum = base0 + _cumsum_i32(K) - K                       # (M,) start slots
 
     t = jax.lax.broadcasted_iota(I32, (nT,), 0)
     W = (cum[None, :] <= t[:, None]) & (t[:, None] < (cum + K)[None, :])
@@ -880,7 +894,7 @@ def get_cancel_msgs(bookside: jax.Array, agent_id, size: int, side,
     pad row (type/side/time are filled on pad rows too, exactly as the
     reference does)."""
     match = bookside[:, OrderCol.TID] == agent_id
-    pos = jnp.cumsum(match) - 1                           # (n,)
+    pos = _cumsum_i32(match.astype(I32)) - 1                           # (n,)
     W = (match[None, :]
          & (pos[None, :] == jax.lax.broadcasted_iota(I32, (size, 1), 0)))
 

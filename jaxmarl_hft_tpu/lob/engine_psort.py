@@ -215,7 +215,7 @@ def _match_psort(cfg, opp, oppP, oppA1, trades, tbase, qtm, price, msg_idx,
     crossing = valid & jnp.where(opp_is_ask, p <= price, p >= price)
 
     qc = jnp.where(crossing, q, 0)
-    cum_excl = jnp.cumsum(qc) - qc
+    cum_excl = ex._cumsum_i32(qc) - qc
     fill = jnp.where(crossing, jnp.clip(qtm - cum_excl, 0, q), 0).astype(I32)
     qtm_left = (qtm - jnp.sum(fill)).astype(I32)
     filled = fill > 0

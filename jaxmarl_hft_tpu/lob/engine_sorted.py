@@ -89,7 +89,8 @@ def _match_sorted(nTrades, cap, opp, trades, qtm, price, agr_oid, time_s,
     crossing = valid & jnp.where(opp_is_ask, p <= price, p >= price)
 
     qc = jnp.where(crossing, q, 0)
-    cum_excl = jnp.cumsum(qc) - qc
+    from .engine import _cumsum_i32
+    cum_excl = _cumsum_i32(qc) - qc
     fill = jnp.where(crossing, jnp.clip(qtm - cum_excl, 0, q), 0).astype(I32)
     qtm_left = (qtm - jnp.sum(fill)).astype(I32)
 
